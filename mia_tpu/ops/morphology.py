@@ -1,0 +1,173 @@
+"""On-device mathematical morphology and connected components.
+
+Replaces the reference's host-side cv2/skimage kernels (SURVEY §2 "native
+deps"): rect-kernel dilate/erode (``unet_processor.py:147-157``) become XLA
+``reduce_window`` max/min filters; ``skimage.measure.label``
+(``busi_dataset.py:152-169``, SAM prompt generation) becomes an iterative
+min-label propagation that runs entirely on device with static shapes.
+
+Masks are 2D ``(H, W)``; vmap for batches.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _window_reduce(mask: jnp.ndarray, radius: int, mode: str) -> jnp.ndarray:
+    window = 2 * radius + 1
+    if mode == "max":
+        init, fn = -jnp.inf, lax.max
+    else:
+        init, fn = jnp.inf, lax.min
+    x = mask.astype(jnp.float32)
+    out = lax.reduce_window(
+        x,
+        jnp.asarray(init, jnp.float32),
+        fn,
+        window_dimensions=(window, window),
+        window_strides=(1, 1),
+        padding=((radius, radius), (radius, radius)),
+    )
+    return out.astype(mask.dtype)
+
+
+def dilate(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Rect-kernel dilation, cv2.dilate(MORPH_RECT, 2r+1) semantics."""
+    return _window_reduce(mask, radius, "max")
+
+
+def erode(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Rect-kernel erosion. Border behaves as +inf (cv2 default), i.e. the
+    implicit outside never erodes the interior — matched by using the mask's
+    max dtype value at the border only for binary masks padded upstream; for
+    the processor pipeline masks are explicitly zero-padded first, as in the
+    reference (``unet_processor.py:83-100``)."""
+    window = 2 * radius + 1
+    x = mask.astype(jnp.float32)
+    out = lax.reduce_window(
+        x,
+        jnp.asarray(jnp.inf, jnp.float32),
+        lax.min,
+        window_dimensions=(window, window),
+        window_strides=(1, 1),
+        padding=((radius, radius), (radius, radius)),
+    )
+    return out.astype(mask.dtype)
+
+
+def fill_hole(mask: jnp.ndarray, dilate_radius: int, erode_radius: int) -> jnp.ndarray:
+    """Morphological closing (dilate then erode), reference ``fill_hole``."""
+    return erode(dilate(mask, dilate_radius), erode_radius)
+
+
+def remove_cc(mask: jnp.ndarray, dilate_radius: int, erode_radius: int) -> jnp.ndarray:
+    """Morphological opening (erode then dilate), reference ``remove_cc``."""
+    return dilate(erode(mask, erode_radius), dilate_radius)
+
+
+def connected_components(
+    mask: jnp.ndarray, connectivity: int = 2, max_iters: int | None = None
+) -> jnp.ndarray:
+    """Label connected components of a binary mask on device.
+
+    Iterative min-label propagation: every foreground pixel starts with its
+    linear index and repeatedly takes the minimum over its (4- or 8-)
+    neighborhood until a fixed point. Labels are arbitrary but unique per
+    component; background is -1. ``connectivity=2`` is 8-connectivity
+    (skimage default used by the reference).
+    """
+    h, w = mask.shape
+    fg = mask > 0
+    big = jnp.int32(h * w)
+    lab = jnp.where(
+        fg, jnp.arange(h * w, dtype=jnp.int32).reshape(h, w), big
+    )
+
+    if connectivity == 2:
+        shifts = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    else:
+        shifts = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+
+    def propagate(lab):
+        best = lab
+        for dy, dx in shifts:
+            shifted = jnp.roll(lab, (dy, dx), axis=(0, 1))
+            # roll wraps around; invalidate wrapped rows/cols
+            if dy == 1:
+                shifted = shifted.at[0, :].set(big)
+            elif dy == -1:
+                shifted = shifted.at[-1, :].set(big)
+            if dx == 1:
+                shifted = shifted.at[:, 0].set(big)
+            elif dx == -1:
+                shifted = shifted.at[:, -1].set(big)
+            best = jnp.minimum(best, shifted)
+        return jnp.where(fg, best, big)
+
+    def compress(lab):
+        # Pointer jumping: labels are linear pixel indices, so follow the
+        # pointer chain lab <- lab[lab] for ~log-diameter convergence.
+        flat = lab.reshape(-1)
+        table = jnp.concatenate([flat, jnp.array([big], dtype=jnp.int32)])
+        for _ in range(2):
+            table = jnp.minimum(
+                table, table[jnp.minimum(table, jnp.int32(h * w))]
+            )
+        return table[: h * w].reshape(h, w)
+
+    def cond(state):
+        lab, changed, it = state
+        return changed & (it < limit)
+
+    def body(state):
+        lab, _, it = state
+        new = compress(propagate(lab))
+        return new, jnp.any(new != lab), it + 1
+
+    limit = jnp.int32(max_iters if max_iters is not None else h * w)
+    lab, _, _ = lax.while_loop(cond, body, (lab, jnp.bool_(True), jnp.int32(0)))
+    return jnp.where(fg, lab, -1)
+
+
+def remove_small_regions(
+    mask: jnp.ndarray, min_size: int, connectivity: int = 2
+) -> jnp.ndarray:
+    """Zero out connected components smaller than ``min_size`` pixels.
+
+    Device-side equivalent of the reference's BUSI label cleanup
+    (``busi_dataset.py:152-169``).
+    """
+    lab = connected_components(mask, connectivity=connectivity)
+    flat = lab.reshape(-1)
+    sizes = jnp.zeros(mask.size + 1, dtype=jnp.int32).at[
+        jnp.where(flat >= 0, flat, mask.size)
+    ].add(1)
+    keep = sizes[jnp.where(flat >= 0, flat, mask.size)] >= min_size
+    keep = keep.reshape(mask.shape) & (lab >= 0)
+    return jnp.where(keep, mask, 0)
+
+
+def component_sizes_and_largest(mask: jnp.ndarray, connectivity: int = 2):
+    """Return (labels, size_map, largest_component_mask) for a binary mask."""
+    lab = connected_components(mask, connectivity=connectivity)
+    flat = jnp.where(lab.reshape(-1) >= 0, lab.reshape(-1), mask.size)
+    sizes = jnp.zeros(mask.size + 1, dtype=jnp.int32).at[flat].add(1)
+    sizes = sizes.at[mask.size].set(0)
+    size_map = sizes[flat].reshape(mask.shape)
+    largest = (size_map == jnp.max(size_map)) & (lab >= 0)
+    return lab, size_map, largest
+
+
+def gaussian_blur_threshold_smooth(mask: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
+    """cv2-style boundary smoothing: 0/255 blur then threshold at 127
+    (reference ``unet_processor.py:159-164``)."""
+    from .filters import gaussian_blur
+
+    # cv2.GaussianBlur(sigma=0) derives sigma from kernel size.
+    sigma = 0.3 * ((kernel_size - 1) * 0.5 - 1) + 0.8
+    x = (mask > 0).astype(jnp.float32)[..., None] * 255.0
+    blurred = gaussian_blur(x, sigma, kernel_size, max_kernel_size=kernel_size)[..., 0]
+    return (blurred > 127).astype(mask.dtype)
