@@ -1,0 +1,98 @@
+"""Train-step and multi-chip sharding tests (8 virtual CPU devices)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mia_tpu.losses import DiceAndCELoss
+from mia_tpu.models.unet import UNet, UNetConfig
+from mia_tpu.parallel import make_mesh, pad_to_multiple, replicate, shard_batch
+from mia_tpu.schedule import poly_warmup_schedule
+from mia_tpu.training import create_train_state, make_optimizer, make_train_step, make_eval_step
+
+
+def _tiny_setup(n_batch=4, size=32, mesh=None):
+    cfg = UNetConfig(
+        in_channels=1, out_classes=3, channels_list=(8, 16, 32), dropout_prob=0.1
+    )
+    model = UNet(cfg)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((n_batch, size, size, 1), np.float32))
+    labels = jnp.asarray(rng.integers(0, 3, (n_batch, size, size)), jnp.int32)
+    lr = poly_warmup_schedule(1e-3, max_steps=50, warmup_steps=5)
+    tx = make_optimizer("adam", lr, grad_clip=10.0)
+    state = create_train_state(model, jax.random.PRNGKey(0), images[:1], tx)
+    step = make_train_step(DiceAndCELoss(dice_weight=0.5, ce_weight=0.5), lr, mesh=mesh)
+    return state, step, images, labels
+
+
+def test_train_step_decreases_loss():
+    state, step, images, labels = _tiny_setup()
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(10):
+        state, metrics = step(state, images, labels, key)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 10
+    # lr follows the schedule: first step lr = 1e-3 * 1/5
+    np.testing.assert_allclose(
+        float(poly_warmup_schedule(1e-3, 50, 5)(0)), 1e-3 / 5, rtol=1e-6
+    )
+
+
+def test_train_step_sharded_matches_single():
+    """The data-parallel program computes the same update as single-device."""
+    mesh = make_mesh(("data",))
+    assert mesh.devices.size == 8
+
+    state_s, step_s, images, labels = _tiny_setup(n_batch=8)
+    # single-device result (donate=False copy trick: rebuild fresh states)
+    state_m, step_m, _, _ = _tiny_setup(n_batch=8, mesh=mesh)
+
+    key = jax.random.PRNGKey(1)
+    state_s, metrics_s = step_s(state_s, images, labels, key)
+
+    state_m = replicate(state_m, mesh)
+    sh_images = shard_batch(images, mesh)
+    sh_labels = shard_batch(labels, mesh)
+    state_m, metrics_m = step_m(state_m, sh_images, sh_labels, key)
+
+    np.testing.assert_allclose(
+        float(metrics_s["loss"]), float(metrics_m["loss"]), rtol=1e-4
+    )
+    # params identical after one step (grad all-reduce == full-batch grad)
+    flat_s = jax.tree_util.tree_leaves(state_s.params)
+    flat_m = jax.tree_util.tree_leaves(state_m.params)
+    for a, b in zip(flat_s, flat_m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
+def test_eval_step_sharded():
+    mesh = make_mesh(("data",))
+    state, _, images, _ = _tiny_setup(n_batch=8)
+    eval_m = make_eval_step(mesh=mesh)
+    probs = eval_m(replicate(state, mesh), shard_batch(images, mesh))
+    assert probs.shape == (8, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, rtol=1e-4)
+
+
+def test_pad_to_multiple():
+    x = jnp.ones((5, 3))
+    padded, mask = pad_to_multiple(x, 8)
+    assert padded.shape == (8, 3)
+    assert mask.sum() == 5
+    y, mask2 = pad_to_multiple(jnp.ones((8, 3)), 8)
+    assert y.shape == (8, 3) and bool(mask2.all())
+
+
+def test_graft_entry():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (2, 256, 256, 3)
+    ge.dryrun_multichip(8)
