@@ -44,14 +44,17 @@ def bench_train_step():
     step = make_train_step(DiceAndCELoss(dice_weight=0.5, ce_weight=0.5), lr)
     key = jax.random.PRNGKey(1)
 
+    # NOTE: through the TPU tunnel, block_until_ready returns immediately;
+    # only a D2H fetch (float()) actually waits for execution. Time by
+    # fetching the final loss scalar.
     for _ in range(WARMUP):
         state, metrics = step(state, images, labels, key)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     start = time.perf_counter()
     for _ in range(ITERS):
         state, metrics = step(state, images, labels, key)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     elapsed = time.perf_counter() - start
     return BATCH * ITERS / elapsed
 

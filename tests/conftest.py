@@ -6,7 +6,9 @@ Multi-chip sharding tests run against a virtual mesh per SURVEY.md §4
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force (don't setdefault): the session env presets JAX_PLATFORMS to the
+# TPU tunnel, which would give a 1-device mesh and break sharding tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

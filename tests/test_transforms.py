@@ -1,0 +1,184 @@
+"""Transform parity tests vs torchvision (fixed parameters) + pipeline jit.
+
+Random-parameter transforms are validated at distribution level (SURVEY §7
+RNG-parity stance) and against torchvision with parameters pinned.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from mia_tpu.transforms import (
+    ComposeTransform,
+    JointResize,
+    MirrorTransform,
+    RandomAffine,
+    RandomBrightness,
+    RandomContrast,
+    RandomCrop2D,
+    RandomGamma,
+    RandomGaussianBlur,
+    RandomGaussianNoise,
+    RandomRotation,
+    RandomRotation90,
+    RandomTransform,
+    SimulateLowRes,
+    ZScoreNormalize,
+    batch_apply,
+    get_train_transform,
+    zscore_normalize,
+)
+
+
+def _img(rng, h=32, w=32, c=1):
+    return rng.random((h, w, c)).astype(np.float32)
+
+
+def _lbl(rng, h=32, w=32, k=3):
+    return rng.integers(0, k, (h, w)).astype(np.int32)
+
+
+def test_zscore_matches_torch(rng):
+    x = _img(rng)
+    ours = np.asarray(zscore_normalize(jnp.asarray(x)))
+    t = torch.from_numpy(np.moveaxis(x, -1, 0).copy())
+    ref = ((t - t.mean()) / t.std().clip(1e-8)).numpy()
+    np.testing.assert_allclose(ours, np.moveaxis(ref, 0, -1), rtol=1e-4, atol=1e-6)
+
+
+def test_contrast_blend_matches_torchvision_formula(rng):
+    # torchvision adjust_contrast (no torchvision in env): blend with the
+    # ITU-R 601 grayscale mean, clamp [0, 1]
+    x = _img(rng, c=3)
+    factor = 1.17
+    gray = 0.2989 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+    ref = np.clip(factor * x + (1 - factor) * gray.mean(), 0.0, 1.0)
+    from mia_tpu.transforms.image import _contrast_blend
+
+    ours = np.asarray(_contrast_blend(jnp.asarray(x), factor))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_brightness_bug_compat(rng):
+    """RandomBrightness applies contrast (image_transform.py:87)."""
+    x = jnp.asarray(_img(rng, c=3))
+    lbl = jnp.zeros((32, 32), jnp.int32)
+    key = jax.random.PRNGKey(3)
+    out_b, _ = RandomBrightness(0.25).apply(key, x, lbl)
+    out_c, _ = RandomContrast(0.25).apply(key, x, lbl)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_c))
+
+
+def _np_gaussian_blur(x_hw, sigma, kernel):
+    # torchvision F.gaussian_blur: truncated normalized kernel, reflect pad
+    half = (kernel - 1) / 2
+    taps = np.linspace(-half, half, kernel)
+    w = np.exp(-0.5 * (taps / sigma) ** 2)
+    w = w / w.sum()
+    pad = (kernel - 1) // 2
+    xp = np.pad(x_hw, pad, mode="reflect")
+    out = np.zeros_like(x_hw)
+    for i in range(kernel):
+        out += w[i] * xp[i : i + x_hw.shape[0], pad : pad + x_hw.shape[1]]
+    out2 = np.zeros_like(out)
+    xp = np.pad(out, pad, mode="reflect")
+    for j in range(kernel):
+        out2 += w[j] * xp[pad : pad + x_hw.shape[0], j : j + x_hw.shape[1]]
+    return out2
+
+
+def test_gaussian_blur_matches_golden(rng):
+    x = _img(rng, 33, 31, 1)
+    sigma = 0.8
+    import math
+
+    c = math.ceil(4 * sigma + 0.5)
+    kernel = c if c % 2 else c - 1
+    from mia_tpu.ops import gaussian_blur
+
+    ours = np.asarray(gaussian_blur(jnp.asarray(x), sigma, kernel, max_kernel_size=9))
+    ref = _np_gaussian_blur(x[..., 0], sigma, kernel)
+    np.testing.assert_allclose(ours[..., 0], ref, rtol=1e-3, atol=1e-5)
+
+
+def test_simulate_low_res_matches_torch(rng):
+    x = _img(rng, 32, 32, 1)
+    scales = (0.6, 0.8)
+    from mia_tpu.ops import simulate_low_res
+
+    ours = np.asarray(simulate_low_res(jnp.asarray(x), jnp.asarray(scales)))
+    t = torch.from_numpy(np.moveaxis(x, -1, 0).copy())
+    low = [int(s * i) for s, i in zip(scales, (32, 32))]
+    down = torch.nn.functional.interpolate(t[None], low, mode="nearest-exact")
+    ref = torch.nn.functional.interpolate(down, (32, 32), mode="bilinear")[0].numpy()
+    np.testing.assert_allclose(ours, np.moveaxis(ref, 0, -1), rtol=1e-4, atol=1e-5)
+
+
+def test_rotation90_and_mirror(rng):
+    x = jnp.asarray(_img(rng))
+    l = jnp.asarray(_lbl(rng))
+    key = jax.random.PRNGKey(0)
+    xi, li = RandomRotation90().apply(key, x, l)
+    assert xi.shape == x.shape and li.shape == l.shape
+    # k is deterministic for a fixed key: same call → same result
+    xi2, li2 = RandomRotation90().apply(key, x, l)
+    np.testing.assert_array_equal(np.asarray(xi), np.asarray(xi2))
+    xm, lm = MirrorTransform(-1).apply(key, x, l)
+    np.testing.assert_array_equal(np.asarray(xm), np.asarray(x)[:, ::-1])
+    np.testing.assert_array_equal(np.asarray(lm), np.asarray(l)[:, ::-1])
+
+
+def test_random_crop_shape_and_content(rng):
+    x = jnp.asarray(_img(rng, 32, 32))
+    l = jnp.asarray(_lbl(rng, 32, 32))
+    xc, lc = RandomCrop2D(20).apply(jax.random.PRNGKey(1), x, l)
+    assert xc.shape == (20, 20, 1) and lc.shape == (20, 20)
+    # crop content must be a contiguous window of the source
+    xs = np.asarray(x)[..., 0]
+    win = np.asarray(xc)[..., 0]
+    found = any(
+        np.array_equal(xs[i : i + 20, j : j + 20], win)
+        for i in range(13)
+        for j in range(13)
+    )
+    assert found
+
+
+def test_random_transform_gate_probability():
+    x = jnp.ones((8, 8, 1), jnp.float32) * 0.5
+    l = jnp.zeros((8, 8), jnp.int32)
+    t = RandomTransform(RandomGamma((2.0, 2.0)), p=0.3)
+    hits = 0
+    n = 400
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    outs, _ = jax.jit(jax.vmap(lambda k: t.apply(k, x, l)))(keys)
+    hits = int(jnp.sum(outs[:, 0, 0, 0] < 0.4))  # 0.5**2 = 0.25 when applied
+    assert 0.2 * n < hits < 0.4 * n
+
+
+def test_full_recipe_jits_and_runs(rng):
+    imgs = jnp.asarray(rng.random((4, 32, 32, 3), np.float32))
+    lbls = jnp.asarray(rng.integers(0, 3, (4, 32, 32)), jnp.int32)
+    for ds in ("fugc", "acdc"):
+        recipe = get_train_transform(ds)
+        fn = jax.jit(lambda k, i, l: batch_apply(recipe, k, i, l))
+        out_i, out_l = fn(jax.random.PRNGKey(0), imgs, lbls)
+        assert out_i.shape == imgs.shape and out_l.shape == lbls.shape
+        assert np.isfinite(np.asarray(out_i)).all()
+        # labels stay in range
+        assert set(np.unique(np.asarray(out_l))) <= {0, 1, 2}
+    # params dict JSON round-trips
+    import json
+
+    json.dumps(get_train_transform("fugc").get_params_dict())
+
+
+def test_joint_resize(rng):
+    x = jnp.asarray(_img(rng, 48, 40))
+    l = jnp.asarray(_lbl(rng, 48, 40))
+    xr, lr = JointResize(32).apply(jax.random.PRNGKey(0), x, l)
+    assert xr.shape == (32, 32, 1) and lr.shape == (32, 32)
+    assert set(np.unique(np.asarray(lr))) <= set(np.unique(np.asarray(l)))
