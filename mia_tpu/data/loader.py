@@ -1,0 +1,137 @@
+"""Host → device batch pipeline.
+
+Replaces torch ``DataLoader(num_workers, pin_memory)``
+(``al_trainer.py:659-667``) with a thread-prefetching loader that collates
+numpy batches and stages them onto the device (optionally sharded over a
+mesh's ``data`` axis) while the previous step computes. Augmentation is NOT
+done here — it runs on device inside the jitted step (``mia_tpu.transforms``),
+so the host loop is pure I/O + stacking.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator
+
+import numpy as np
+
+import jax
+
+from .base import BaseDataset
+
+
+def collate(samples: list[dict]) -> dict:
+    """Stack a list of sample dicts into batch arrays (case names as list)."""
+    out: dict = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        elif isinstance(vals[0], (int, float)):
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = vals
+    return out
+
+
+class BatchLoader:
+    """Iterates device-ready batches from a dataset.
+
+    ``shuffle`` + ``drop_last`` mirror the reference train loader; an
+    ``oversample_to`` count replicates the AL oversampling (ensuring at least
+    one full batch when the labeled set is tiny, ``al_trainer.py:648-659``).
+    """
+
+    def __init__(
+        self,
+        dataset: BaseDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int | None = None,
+        sampler: Iterable | None = None,
+        device_put: bool = True,
+        sharding=None,
+        num_prefetch: int = 2,
+        oversample: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.sampler = sampler
+        self.device_put = device_put
+        self.sharding = sharding
+        self.num_prefetch = num_prefetch
+        self.oversample = oversample
+        self._rng = np.random.default_rng(seed)
+
+    def _index_batches(self) -> Iterator[list[int]]:
+        if self.sampler is not None:
+            yield from self.sampler
+            return
+        n = len(self.dataset)
+        idx = list(range(n))
+        if self.oversample and n < self.batch_size and n > 0:
+            # reference: replicate the case list ceil(batch/len) times
+            reps = int(np.ceil(self.batch_size / n))
+            idx = idx * reps
+        if self.shuffle:
+            idx = list(self._rng.permutation(idx))
+        num_full = len(idx) // self.batch_size
+        for b in range(num_full):
+            yield idx[b * self.batch_size : (b + 1) * self.batch_size]
+        rem = len(idx) % self.batch_size
+        if rem and not self.drop_last:
+            yield idx[num_full * self.batch_size :]
+
+    def __len__(self):
+        if self.sampler is not None and hasattr(self.sampler, "__len__"):
+            return len(self.sampler)
+        n = len(self.dataset)
+        if self.oversample and n < self.batch_size and n > 0:
+            n = int(np.ceil(self.batch_size / n)) * n
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _load_batch(self, indices: list[int]) -> dict:
+        batch = collate([self.dataset.get_sample(int(i)) for i in indices])
+        if self.device_put:
+            for key in ("image", "label"):
+                if key in batch:
+                    arr = batch[key]
+                    if self.sharding is not None:
+                        batch[key] = jax.device_put(arr, self.sharding)
+                    else:
+                        batch[key] = jax.device_put(arr)
+        return batch
+
+    def __iter__(self) -> Iterator[dict]:
+        if self.num_prefetch <= 0:
+            for indices in self._index_batches():
+                yield self._load_batch(indices)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.num_prefetch)
+        sentinel = object()
+        error: list[BaseException] = []
+
+        def producer():
+            try:
+                for indices in self._index_batches():
+                    q.put(self._load_batch(indices))
+            except BaseException as e:  # propagate into the consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if error:
+            raise error[0]

@@ -1,0 +1,180 @@
+"""Dataset layer tests on synthetic fixtures in the reference layouts."""
+
+import numpy as np
+import pytest
+
+from mia_tpu.data import (
+    ACDCDataset,
+    ActiveDataset,
+    BatchLoader,
+    BUSIDataset,
+    ExtendableDataset,
+    FUGCDataset,
+    ImageDataset,
+    TN3KDataset,
+    TwoStreamBatchSampler,
+    ZScoreNormalizeHost,
+)
+from mia_tpu.utils.images import read_nrrd, write_nrrd
+
+from synth_data import make_acdc, make_busi, make_fugc, make_tn3k
+
+
+def test_fugc_contract(tmp_path):
+    make_fugc(tmp_path)
+    ds = FUGCDataset(tmp_path, split="train", image_size=32)
+    assert len(ds) == 6
+    s = ds.get_sample(0)
+    assert s["image"].shape == (32, 32, 3) and s["image"].dtype == np.float32
+    assert s["label"].shape == (32, 32) and s["label"].dtype == np.int32
+    assert 0.0 <= s["image"].min() and s["image"].max() <= 1.0
+    assert set(np.unique(s["label"])) <= {0, 1, 2}
+    assert s["case_name"] == ds.samples_list[0]
+    # grayscale repeat: all channels equal (fugc_dataset.py:147)
+    np.testing.assert_array_equal(s["image"][..., 0], s["image"][..., 1])
+    # find_samples
+    found = FUGCDataset.find_samples(tmp_path)
+    assert len(found) == 6 and all(f["labeled"] for f in found)
+
+
+def test_fugc_normalize(tmp_path):
+    make_fugc(tmp_path)
+    ds = FUGCDataset(tmp_path, split="valid", normalize=ZScoreNormalizeHost())
+    s = ds.get_sample(0)
+    assert abs(s["image"].mean()) < 1e-5
+    raw = ds.get_sample(0, normalize=False)
+    assert raw["image"].max() <= 1.0
+
+
+def test_busi_contract(tmp_path):
+    make_busi(tmp_path)
+    ds = BUSIDataset(tmp_path, split="train")
+    assert len(ds) == 4
+    s = ds.get_sample(0)
+    assert s["case_name"] == "0000"
+    # test == valid
+    assert (
+        BUSIDataset(tmp_path, split="test").samples_list
+        == BUSIDataset(tmp_path, split="valid").samples_list
+    )
+
+
+def test_acdc_contract(tmp_path):
+    make_acdc(tmp_path)
+    train = ACDCDataset(tmp_path, split="train")
+    s = train.get_sample(0)
+    assert s["image"].shape == (32, 32, 3)
+    assert s["spacing"] is not None and len(s["spacing"]) == 2
+    valid = ACDCDataset(tmp_path, split="valid")
+    v = valid.get_sample(0)
+    assert v["image"].shape == (4, 32, 32, 3)  # (D, H, W, C) volume
+    assert v["label"].shape == (4, 32, 32)
+    assert len(v["spacing"]) == 3
+    # num limits train samples (acdc_dataset.py:126-127)
+    assert len(ACDCDataset(tmp_path, split="train", num=3)) == 3
+
+
+def test_tn3k_contract(tmp_path):
+    make_tn3k(tmp_path)
+    ds = TN3KDataset(tmp_path, split="train", fold=0)
+    s = ds.get_sample(0)
+    assert set(np.unique(s["label"])) <= {0, 1}  # binarized at 127
+    test = TN3KDataset(tmp_path, split="test")
+    assert len(test) == 2
+
+
+def test_extendable_and_active(tmp_path):
+    make_fugc(tmp_path)
+    base = FUGCDataset(tmp_path, split="train")
+    names = base.case_names()
+    labeled = ExtendableDataset(base, image_idx=names[:2])
+    pool = ExtendableDataset(base, image_idx=names[2:])
+    active = ActiveDataset(labeled, pool)
+    assert active.get_size() == (2, 4)
+    active.extend_train_set(names[2:4])
+    assert active.get_size() == (4, 2)
+    # round-trip data list json
+    p = tmp_path / "dl.json"
+    active.save_data_list(p)
+    active2 = ActiveDataset(
+        ExtendableDataset(base, image_idx=[]), ExtendableDataset(base)
+    )
+    active2.load_data_list(p)
+    assert active2.get_size() == (4, 2)
+    # samples resolve through the view
+    s = labeled.get_sample(2)
+    assert s["case_name"] == names[2]
+
+
+def test_image_dataset(tmp_path):
+    make_fugc(tmp_path)
+    paths = sorted((tmp_path / "train" / "images").glob("*.png"))
+    ds = ImageDataset(paths, image_size=24)
+    s = ds.get_sample(0)
+    assert s["image"].shape == (24, 24, 3)
+    assert (s["label"] == 0).all()
+
+
+def test_batch_loader(tmp_path):
+    make_fugc(tmp_path)
+    ds = FUGCDataset(tmp_path, split="train", image_size=32)
+    loader = BatchLoader(ds, batch_size=4, shuffle=True, seed=0, device_put=False)
+    batches = list(loader)
+    assert len(batches) == 1  # 6 // 4 with drop_last
+    b = batches[0]
+    assert b["image"].shape == (4, 32, 32, 3)
+    assert len(b["case_name"]) == 4
+    # oversample: tiny dataset still yields one full batch
+    sub = ExtendableDataset(ds, image_idx=ds.case_names()[:2])
+    loader2 = BatchLoader(sub, batch_size=4, seed=0, device_put=False, oversample=True)
+    assert len(list(loader2)) == 1
+    # prefetch path produces identical content to sync path for same seed
+    l_sync = BatchLoader(ds, batch_size=2, seed=7, device_put=False, num_prefetch=0)
+    l_pre = BatchLoader(ds, batch_size=2, seed=7, device_put=False, num_prefetch=2)
+    for a, b in zip(l_sync, l_pre):
+        np.testing.assert_array_equal(a["image"], b["image"])
+
+
+def test_two_stream_sampler():
+    sampler = TwoStreamBatchSampler(
+        primary_indices=list(range(4)),
+        secondary_indices=list(range(10, 20)),
+        batch_size=6,
+        secondary_batch_size=4,
+        seed=0,
+    )
+    batches = list(iter(sampler))
+    assert len(batches) == 2
+    for b in batches:
+        assert len(b) == 6
+        assert all(i < 4 for i in b[:2])
+        assert all(i >= 10 for i in b[2:])
+
+
+def test_nrrd_roundtrip(tmp_path):
+    arr = (np.random.default_rng(0).random((5, 6, 7)) * 100).astype(np.int16)
+    for enc in ("raw", "gzip"):
+        p = tmp_path / f"x_{enc}.nrrd"
+        write_nrrd(p, arr, encoding=enc)
+        back = read_nrrd(p)
+        np.testing.assert_array_equal(arr, back)
+
+
+def test_la2018(tmp_path):
+    from mia_tpu.data import LA2018Dataset
+
+    rng = np.random.default_rng(0)
+    for pid in ("p1", "p2"):
+        d = tmp_path / pid
+        d.mkdir()
+        img = (rng.random((4, 8, 8)) * 255).astype(np.uint8)
+        endo = (rng.random((4, 8, 8)) > 0.7).astype(np.uint8)
+        wall = (rng.random((4, 8, 8)) > 0.8).astype(np.uint8)
+        write_nrrd(d / "lgemri.nrrd", img)
+        write_nrrd(d / "laendo.nrrd", endo)
+        write_nrrd(d / "lawall.nrrd", wall)
+    ds = LA2018Dataset(tmp_path)
+    assert len(ds) == 2
+    image, label = ds.get_sample(0)
+    assert image.shape == (4, 8, 8)
+    assert set(np.unique(label)) <= {0, 1, 2}
