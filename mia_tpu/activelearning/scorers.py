@@ -1,0 +1,143 @@
+"""Jitted pool-scoring programs.
+
+The reference sweeps the pool with a fresh DataLoader per selector, running
+``model(image).softmax(1)`` under ``no_grad`` batch-by-batch
+(``entropy_selector.py:24-54``) and, for BADGE, one backward pass PER IMAGE
+(``badge_selector.py:56-98``). Here each acquisition math is one jitted
+program; BADGE's per-image gradient becomes ``vmap(grad)`` w.r.t. the seg
+head. Final batches are padded to the batch size so every sweep reuses one
+compiled program regardless of pool size (SURVEY §7 fixed-shape stance).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.loader import collate
+from ..losses import cross_entropy, soft_dice_loss
+from ..training.state import TrainState
+
+
+def entropy_score(probs: jnp.ndarray, smooth: float = 1e-8) -> jnp.ndarray:
+    """Mean over classes of -p·log2(p+eps), spatial mean → (B,)
+    (``entropy_selector.py:44-54``)."""
+    ent = jnp.mean(-probs * jnp.log2(probs + smooth), axis=-1)
+    return jnp.mean(ent, axis=(-2, -1))
+
+
+def confidence_score(probs: jnp.ndarray) -> jnp.ndarray:
+    """Least confidence: spatial mean of -max_c p (``confidence_selector.py:44-52``)."""
+    return jnp.mean(-jnp.max(probs, axis=-1), axis=(-2, -1))
+
+
+def margin_score(probs: jnp.ndarray) -> jnp.ndarray:
+    """-(top1 - top2) spatial mean (``margin_selector.py:44-53``)."""
+    top2 = jax.lax.top_k(probs, 2)[0]
+    return jnp.mean(-(top2[..., 0] - top2[..., 1]), axis=(-2, -1))
+
+
+_SCORES = {
+    "entropy": entropy_score,
+    "confidence": confidence_score,
+    "margin": margin_score,
+}
+
+
+class ModelScorer:
+    """Bundles the jitted scoring endpoints over a (model, TrainState).
+
+    The AL trainer rebuilds the state per round; the compiled programs key on
+    the model apply fn + shapes, so rounds reuse them.
+    """
+
+    def __init__(self, model, state: TrainState):
+        self.model = model
+        self.state = state
+
+        def variables(params, batch_stats):
+            v = {"params": params}
+            if jax.tree_util.tree_leaves(batch_stats):
+                v["batch_stats"] = batch_stats
+            return v
+
+        def probs_fn(params, batch_stats, images):
+            logits = model.apply(variables(params, batch_stats), images, train=False)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        def enc_fn(params, batch_stats, images):
+            return model.apply(
+                variables(params, batch_stats),
+                images,
+                train=False,
+                method=model.enc_feature,
+            ).astype(jnp.float32)
+
+        def uncertainty_fn(params, batch_stats, images, kind):
+            return _SCORES[kind](probs_fn(params, batch_stats, images))
+
+        def badge_fn(params, batch_stats, images):
+            # vmap(grad wrt seg-head kernel) — per-image pseudo-label loss
+            # gradient embedding (badge_selector.py:19-34, 75-98)
+            def one_image(image):
+                def loss_of_head(kernel):
+                    p = dict(params)
+                    p["decoder"] = dict(p["decoder"])
+                    p["decoder"]["seg_output"] = dict(p["decoder"]["seg_output"])
+                    p["decoder"]["seg_output"]["kernel"] = kernel
+                    logits = model.apply(
+                        variables(p, batch_stats), image[None], train=False
+                    )
+                    preds = jax.lax.stop_gradient(jnp.argmax(logits, axis=-1))
+                    ce = cross_entropy(logits, preds)
+                    dice = soft_dice_loss(logits, preds, do_bg=True)
+                    return ce + dice
+
+                kernel = params["decoder"]["seg_output"]["kernel"]
+                return jax.grad(loss_of_head)(kernel).reshape(-1)
+
+            return jax.vmap(one_image)(images)
+
+        self._probs = jax.jit(probs_fn)
+        self._enc = jax.jit(enc_fn)
+        self._uncertainty = jax.jit(uncertainty_fn, static_argnums=3)
+        self._badge = jax.jit(badge_fn)
+
+    def probs(self, images) -> jnp.ndarray:
+        return self._probs(self.state.params, self.state.batch_stats, images)
+
+    def enc_feature(self, images) -> jnp.ndarray:
+        return self._enc(self.state.params, self.state.batch_stats, images)
+
+    def uncertainty(self, images, kind: str) -> jnp.ndarray:
+        return self._uncertainty(self.state.params, self.state.batch_stats, images, kind)
+
+    def badge_grad_embedding(self, images) -> jnp.ndarray:
+        return self._badge(self.state.params, self.state.batch_stats, images)
+
+
+def sweep_pool(
+    dataset,
+    batch_size: int,
+    fn,
+    image_size=None,
+) -> tuple[np.ndarray, list[str]]:
+    """Run a jitted per-batch ``fn(images) -> (B, ...)`` over a whole dataset
+    with fixed-shape batches (final batch padded by repetition).
+
+    Returns (stacked outputs [N, ...], case names [N]).
+    """
+    n = len(dataset)
+    outputs, names = [], []
+    for start in range(0, n, batch_size):
+        idx = list(range(start, min(start + batch_size, n)))
+        valid = len(idx)
+        while len(idx) < batch_size:
+            idx.append(idx[-1])
+        batch = collate([dataset.get_sample(i) for i in idx])
+        out = np.asarray(fn(jnp.asarray(batch["image"])))
+        outputs.append(out[:valid])
+        names.extend(batch["case_name"][:valid])
+    return np.concatenate(outputs, axis=0), names
