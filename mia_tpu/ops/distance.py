@@ -97,18 +97,23 @@ def _minplus_axis0(f2: jnp.ndarray, spacing: float, chunk: int = 32) -> jnp.ndar
     return out[:n]
 
 
-def squared_edt(feature: jnp.ndarray, spacing: tuple[float, ...] | None = None) -> jnp.ndarray:
-    """Exact squared EDT to the nearest True pixel of ``feature`` (n-D)."""
+def squared_edt(feature: jnp.ndarray, spacing=None) -> jnp.ndarray:
+    """Exact squared EDT to the nearest True pixel of ``feature`` (n-D).
+
+    ``spacing`` may be a tuple of floats or a traced (ndim,) array — one
+    compiled program then serves every anisotropic spacing.
+    """
     nd = feature.ndim
     if spacing is None:
         spacing = (1.0,) * nd
+    spacing = jnp.asarray(spacing, jnp.float32)
     # First axis: scan-based nearest feature (cheap), then square.
-    d0 = _nearest_feature_distance_1d(feature, float(spacing[0]))
+    d0 = _nearest_feature_distance_1d(feature, spacing[0])
     f2 = jnp.where(d0 >= _BIG, _BIG, d0 * d0)
     # Remaining axes: general min-plus with parabolic offsets.
     for axis in range(1, nd):
         f2m = jnp.moveaxis(f2, axis, 0)
-        f2m = _minplus_axis0(f2m, float(spacing[axis]))
+        f2m = _minplus_axis0(f2m, spacing[axis])
         f2 = jnp.moveaxis(f2m, 0, axis)
     return f2
 
@@ -165,7 +170,7 @@ def surface_distance_stats(
     if spacing is None:
         sp = (1.0,) * nd
     else:
-        sp = tuple(float(s) for s in spacing)
+        sp = spacing  # tuple of floats or traced (ndim,) array
 
     pb = binary_border(pred)
     rb = binary_border(ref)

@@ -1,0 +1,1029 @@
+"""Round-based active-learning trainer — the north-star path
+(reference ``src/training/al_trainer.py:291-1745``).
+
+Functional-core design: three jitted programs do all device work —
+1. **train step**: on-device augmentation recipe + z-score + UNet fwd/bwd +
+   Dice+CE + global-norm clip + optimizer, one XLA program per iteration
+   (the reference's ``train_step`` :1350-1399 plus its DataLoader-worker
+   augmentation, fused).
+2. **eval program**: z-score → resize to model size → forward → argmax →
+   resize back → (optional denoise) → per-class DSC/HD/ASD/JC on device
+   (replacing the per-slice host medpy/SimpleITK loop :1476-1556). Shapes
+   are bucket-padded so a handful of compilations cover every volume.
+3. **pool scoring** via ``mia_tpu.activelearning.ModelScorer``.
+
+The host shell keeps the reference's orchestration: round loop with
+selector → extend → rebuild → train → best-checkpoint; directory layout
+``work/round_i/{data_list.json, best_model/, iter_<n>_<metric>/,
+final_model/}``; JSON config snapshot; CSV test reports; optional wandb.
+Checkpoints are flax msgpack instead of ``.pth`` (torch ``.pth`` round-0
+checkpoints still load through ``import_torch_unet_checkpoint``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import serialization
+from PIL import Image
+
+from ..activelearning import SELECTORS, ModelScorer
+from ..data import (
+    DATASETS,
+    ActiveDataset,
+    BatchLoader,
+    ExtendableDataset,
+)
+from ..losses import DiceAndCELoss
+from ..metrics.metrics import metric_percase
+from ..models import UNet, UNetConfig, UnetProcessor, import_torch_unet_checkpoint
+from ..schedule import poly_warmup_schedule
+from ..transforms import batch_apply, get_train_transform
+from ..transforms.normalization import zscore_normalize
+from ..utils.common import draw_mask, get_path
+from ..utils.logging import add_file_sink, remove_sink, setup_logger
+from .al_config import ALConfig
+from .base_trainer import BaseTrainer
+from .state import TrainState, create_train_state, make_optimizer
+from .steps import make_train_step
+
+try:
+    import wandb  # noqa: F401
+
+    _HAS_WANDB = True
+except Exception:  # pragma: no cover - wandb not installed in this image
+    _HAS_WANDB = False
+
+
+def _bucket(n: int, mult: int) -> int:
+    return max(((n + mult - 1) // mult) * mult, mult)
+
+
+class ALTrainer(BaseTrainer):
+    DATASET_KEYS = {
+        "ACDC": "acdc",
+        "acdc": "acdc",
+        "tn3k": "tn3k",
+        "tg3k": "tg3k",
+        "fugc": "fugc",
+        "busi": "busi",
+    }
+
+    def __init__(
+        self,
+        work_path: Path | str = Path.cwd(),
+        deterministic: bool = True,
+        device=None,
+        config: ALConfig | dict | str | Path | None = None,
+        resume: str | Path | None = None,
+        # Log parameters
+        verbose: bool = True,
+        log_path: Path | str | None = None,
+        config_path: Path | str | None = None,
+        log_mode: str = "a",
+        log_override: bool = False,
+        use_wandb: bool = False,
+        wandb_api_key: str | None = None,
+        mesh=None,
+        **kwargs,
+    ):
+        if isinstance(config, ALConfig):
+            self.config = config
+        elif isinstance(config, dict):
+            self.config = ALConfig(**config)
+        elif isinstance(config, (str, Path)):
+            self.config = ALConfig().load(config)
+        else:
+            self.config = ALConfig()
+
+        self.deterministic = deterministic
+        self.work_path = get_path(work_path)
+        self.mesh = mesh
+        self.resume = resume
+
+        self._set_seed(self.config.seed)
+
+        self.current_epoch = 0
+        self.current_round = 0
+        self.current_iter = 0
+        self.current_patience = 0
+
+        self.verbose = verbose
+        self.log_path = log_path
+        self.config_path = config_path
+        self.log_mode = log_mode
+        self.log_override = log_override
+        self.use_wandb = use_wandb and _HAS_WANDB
+        self.wandb_api_key = wandb_api_key
+        self.wandb_runner = None
+
+        self.model = None
+        self.state: TrainState | None = None
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+    def initialize(self):
+        self._set_snapshot_work_dir()
+        self._setup_wandb()
+        self._setup_logger()
+        self._build_model()
+
+    def _set_seed(self, seed: int):
+        os.environ["AL_SEED"] = str(seed)
+        self.seed = seed
+        np.random.seed(seed)
+        self.root_key = jax.random.PRNGKey(seed)
+
+    def _set_snapshot_work_dir(self):
+        current_time_str = datetime.now().strftime("%Y%m%d_%H")
+        snapshot_list = [
+            f"{self.config.dataset}",
+            f"{current_time_str}",
+            f"al-{self.config.active_learning}",
+            f"round-{self.config.num_rounds}",
+            f"budget-{self.config.budget}",
+            f"selector-{self.config.active_selector_name}",
+            f"patchsz-{self.config.patch_size}",
+            f"imgsz-{self.config.image_size}",
+            f"batchsz-{self.config.batch_size}",
+            f"epoch-{self.config.num_iters}",
+            f"optimizer-{self.config.optimizer_name}",
+            f"lr-{self.config.lr_scheduler_name}",
+            f"lrwarm-{self.config.lr_warmup_iter}",
+            f"startlr-{self.config.start_lr}",
+            f"dice-{self.config.dice_weight}",
+            f"ce-{self.config.ce_weight}",
+        ]
+        if self.config.exp_name:
+            snapshot_list.append(self.config.exp_name)
+        self.work_path = self.work_path / "_".join(snapshot_list)
+        self.work_path.mkdir(parents=True, exist_ok=True)
+
+    def _setup_wandb(self):
+        if not self.use_wandb:
+            return
+        wandb.login(key=self.wandb_api_key)
+        self.wandb_runner = wandb.init(
+            dir=self.work_path / "wandb",
+            project="active-learning",
+            name=self.work_path.stem,
+            config=self.config._config_dict,
+        )
+        for i in range(self.config.num_rounds):
+            wandb.define_metric(f"round_{i}_train_epoch")
+            wandb.define_metric(
+                f"round_{i}/train/epoch/*", step_metric=f"round_{i}_train_epoch"
+            )
+            wandb.define_metric(f"round_{i}_train_iter")
+            wandb.define_metric(
+                f"round_{i}/train/iter/*", step_metric=f"round_{i}_train_iter"
+            )
+            wandb.define_metric(f"round_{i}_valid_step")
+            wandb.define_metric(f"round_{i}/valid/*", step_metric=f"round_{i}_valid_step")
+        wandb.define_metric("round_step")
+        wandb.define_metric("test/*", step_metric="round_step")
+
+    def _setup_logger(self):
+        if not self.log_path:
+            self.log_path = self.work_path / "log.txt"
+        self.logger = setup_logger(
+            "MIA.ALTrainer",
+            log_path=self.log_path,
+            verbose=self.verbose,
+            log_mode=self.log_mode,
+            log_override=self.log_override,
+        )
+
+    # ------------------------------------------------------------------
+    # model
+    # ------------------------------------------------------------------
+    def _unet_config(self) -> UNetConfig:
+        return UNetConfig(
+            dimension=2,
+            in_channels=self.config.in_channels,
+            out_classes=self.config.num_classes + 1,
+            channels_list=(32, 64, 128, 256, 512),
+            block_type=self.config.block_type,
+            normalization=self.config.block_normalization,
+            dropout_prob=self.config.dropout_prob,
+            deep_supervision=self.config.deep_supervision,
+            ds_layer=self.config.ds_layer,
+            compute_dtype=jnp.bfloat16
+            if self.config.compute_dtype == "bfloat16"
+            else jnp.float32,
+        )
+
+    def _model_input_size(self) -> tuple[int, int]:
+        if self.config.image_size is not None:
+            return tuple(self.config.image_size)
+        # probe a native sample for fixed shapes
+        sample = self.get_dataset("train").get_sample(0)
+        return tuple(sample["image"].shape[:2])
+
+    def _build_model(self, round_key: int = 0):
+        cfg = self._unet_config()
+        self.model = UNet(cfg)
+        self.model_processor = UnetProcessor(image_size=self.config.image_size)
+
+        h, w = self._model_input_size()
+        sample = jnp.zeros((1, h, w, cfg.in_channels), jnp.float32)
+        init_key = jax.random.fold_in(self.root_key, round_key)
+        tx = self._make_tx()
+        self.state = create_train_state(self.model, init_key, sample, tx)
+
+        if self.config.model_ckpt:
+            self.load_model_checkpoint(self.config.model_ckpt)
+
+    def _make_tx(self):
+        if self.config.lr_scheduler_name == "poly":
+            self.lr_schedule = poly_warmup_schedule(
+                self.config.start_lr,
+                max_steps=self.config.num_iters,
+                warmup_steps=self.config.lr_warmup_iter,
+                interval=self.config.lr_interval,
+            )
+        elif self.config.lr_scheduler_name == "none":
+            self.lr_schedule = lambda step: self.config.start_lr
+        else:
+            raise ValueError(
+                f'Learning rate scheduler "{self.config.lr_scheduler_name}" not supported'
+            )
+        return make_optimizer(
+            self.config.optimizer_name,
+            self.lr_schedule,
+            grad_clip=self.config.grad_norm,
+            **self.config.optimizer_kwargs,
+        )
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+    def load_model_checkpoint(self, ckpt: str | Path):
+        ckpt = Path(ckpt)
+        try:
+            if ckpt.suffix in (".pth", ".pt"):
+                import torch
+
+                sd = torch.load(ckpt, map_location="cpu")
+                if "model" in sd:
+                    sd = sd["model"]
+                variables = import_torch_unet_checkpoint(
+                    sd,
+                    num_levels=self.model.cfg.num_levels,
+                    block_type=self.model.cfg.block_type,
+                )
+            else:
+                if ckpt.is_dir():
+                    ckpt = ckpt / "model.msgpack"
+                target = {"params": self.state.params}
+                if jax.tree_util.tree_leaves(self.state.batch_stats):
+                    target["batch_stats"] = self.state.batch_stats
+                variables = serialization.from_bytes(target, ckpt.read_bytes())
+            self.state = self.state.replace(
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats", self.state.batch_stats),
+            )
+            self.logger.info(f"Loaded model checkpoint from {ckpt}")
+        except Exception as e:
+            self.logger.warning(f"Failed to load model checkpoint from {ckpt}")
+            self.logger.exception(e)
+
+    def save_model_checkpoint(self, ckpt: str | Path):
+        try:
+            variables = {"params": self.state.params}
+            if jax.tree_util.tree_leaves(self.state.batch_stats):
+                variables["batch_stats"] = self.state.batch_stats
+            Path(ckpt).write_bytes(serialization.to_bytes(variables))
+            self.logger.info(f"Saved model checkpoint to {ckpt}")
+        except Exception as e:
+            self.logger.warning(f"Failed to save model checkpoint to {ckpt}")
+            self.logger.exception(e)
+
+    def state_dict(self) -> dict:
+        return {
+            "current_iter": self.current_iter,
+            "current_epoch": self.current_epoch,
+            "current_round": self.current_round,
+            "data_list": self.active_dataset.data_list(),
+        }
+
+    def save_state_dict(self, save_path: str | Path, save_training_state: bool = False):
+        save_path = get_path(save_path)
+        save_path.mkdir(parents=True, exist_ok=True)
+        self.save_model_checkpoint(save_path / "model.msgpack")
+        if save_training_state:
+            (save_path / "training_state.json").write_text(
+                json.dumps(self.state_dict())
+            )
+            (save_path / "opt_state.msgpack").write_bytes(
+                serialization.to_bytes(self.state.opt_state)
+            )
+        self.logger.info(f'Saved new checkpoint to "{save_path}"')
+
+    def load_state_dict(self, save_path: str | Path):
+        save_path = get_path(save_path)
+        if (save_path / "model.msgpack").is_file():
+            self.load_model_checkpoint(save_path / "model.msgpack")
+        ts_path = save_path / "training_state.json"
+        if ts_path.is_file():
+            ts = json.loads(ts_path.read_text())
+            opt_path = save_path / "opt_state.msgpack"
+            if opt_path.is_file():
+                opt_state = serialization.from_bytes(
+                    self.state.opt_state, opt_path.read_bytes()
+                )
+                self.state = self.state.replace(
+                    opt_state=opt_state, step=jnp.asarray(ts["current_iter"] + 1)
+                )
+            # offset by 1: states are saved at the end of a step/round
+            self.current_epoch = ts["current_epoch"] + 1
+            self.current_iter = ts["current_iter"] + 1
+            self.current_round = ts["current_round"] + 1
+            self.active_dataset.load_data_list(ts["data_list"])
+
+    # ------------------------------------------------------------------
+    # data
+    # ------------------------------------------------------------------
+    def get_dataset(self, split: str):
+        key = self.DATASET_KEYS.get(self.config.dataset)
+        if key is None:
+            raise ValueError(f"{self.config.dataset} dataset is undefined")
+        cls = DATASETS[key]
+        # NOTE: augmentation/normalization run on DEVICE inside the jitted
+        # programs; datasets only load + resize to the model size for train.
+        image_size = self.config.image_size if split == "train" else None
+        return cls(
+            data_path=self.config.data_path,
+            split=split,
+            image_channels=self.config.in_channels,
+            image_size=image_size,
+        )
+
+    def get_data(self):
+        labeled_base = self.get_dataset("train")
+        pool_base = self.get_dataset("train")
+        valid_dataset = self.get_dataset("valid")
+
+        ex_labeled = ExtendableDataset(labeled_base, [])
+        ex_pool = ExtendableDataset(pool_base)
+        active_dataset = ActiveDataset(ex_labeled, ex_pool)
+
+        valid_loader = BatchLoader(
+            valid_dataset,
+            batch_size=self.config.valid_batch_size,
+            shuffle=False,
+            drop_last=False,
+            device_put=False,
+        )
+        return labeled_base, pool_base, valid_dataset, active_dataset, valid_loader
+
+    def get_train_dataloader(self, active_dataset: ActiveDataset):
+        return BatchLoader(
+            active_dataset.get_train_dataset(),
+            batch_size=self.config.batch_size,
+            shuffle=True,
+            drop_last=True,
+            seed=self.seed + self.current_round,
+            oversample=self.config.do_oversample,
+        )
+
+    # ------------------------------------------------------------------
+    # jitted programs
+    # ------------------------------------------------------------------
+    def _setup_loss(self):
+        if self.config.loss_name != "dice+ce":
+            raise ValueError(f"Loss function {self.config.loss_name} not found")
+        # dice flags per reference al_trainer.py:784-798
+        self.supervised_loss = DiceAndCELoss(
+            dice_weight=self.config.dice_weight,
+            ce_weight=self.config.ce_weight,
+            smooth=1e-5,
+            do_bg=True,
+            softmax=True,
+            batch=False,
+            squared=False,
+        )
+
+    def _setup_active_selector(self):
+        name = self.config.active_selector_name
+        if name not in SELECTORS:
+            raise ValueError(f"ActiveSelector {name} not found")
+        self.active_selector = SELECTORS[name](
+            batch_size=self.config.batch_size if name != "badge" else 1,
+            coreset_criteria=self.config.coreset_criteria,
+            coreset_fusion=self.config.coreset_fusion,
+            feature_path=self.config.feature_path,
+            loaded_feature_weight=self.config.loaded_feature_weight,
+            loaded_feature_only=self.config.loaded_feature_only,
+            sharp_factor=self.config.kmean_sharp_factor,
+            softmax=self.config.kmean_softmax,
+        )
+
+    def _make_programs(self):
+        recipe = get_train_transform(
+            self.DATASET_KEYS[self.config.dataset], self.config.do_augment
+        )
+        self._aug_params_dict = recipe.get_params_dict()
+        do_normalize = self.config.do_normalize
+
+        def preprocess(rng, images, labels):
+            if recipe.transforms:
+                images, labels = batch_apply(recipe, rng, images, labels)
+            if do_normalize:
+                images = jax.vmap(zscore_normalize)(images)
+            return images, labels
+
+        self._train_step = make_train_step(
+            self.supervised_loss,
+            self.lr_schedule,
+            mesh=self.mesh,
+            donate=True,
+            preprocess_fn=preprocess,
+        )
+
+        model = self.model
+        loss_fn = self.supervised_loss
+        postprocess_mask = self.config.postprocess_mask
+        processor = self.model_processor
+        num_classes = self.config.num_classes
+
+        def forward_eval(params, batch_stats, images, labels):
+            """Fixed-shape slice-stack forward at the model size.
+
+            ``images`` (N, Hm, Wm, C) already resized; ``labels`` (N, Hm, Wm)
+            nearest-resized for the logged loss. Returns (pred, loss).
+            """
+            variables = {"params": params}
+            if jax.tree_util.tree_leaves(batch_stats):
+                variables["batch_stats"] = batch_stats
+            logits = model.apply(variables, images, train=False)
+            prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            pred = jnp.argmax(prob, axis=-1).astype(jnp.int32)
+            loss, _, _ = loss_fn(logits, labels)
+            return pred, loss
+
+        self._forward_eval = jax.jit(forward_eval)
+
+        def metrics_volume(pred, labels, spacing, valid_shape):
+            """Bucket-padded (D, H, W) masks → metric_all (4,) + per-class
+            (C, 4) in one device program. Padding is zeroed on both masks so
+            it is metric-inert."""
+            n, h, w = pred.shape
+            if postprocess_mask:
+                pred = jax.vmap(processor.denoise_one_mask)(pred)
+            dmask = jnp.arange(n) < valid_shape[0]
+            hmask = jnp.arange(h) < valid_shape[1]
+            wmask = jnp.arange(w) < valid_shape[2]
+            region = dmask[:, None, None] & hmask[None, :, None] & wmask[None, None, :]
+            pred = jnp.where(region, pred, 0)
+            labels = jnp.where(region, labels, 0)
+
+            metric_all = jnp.stack(metric_percase(pred > 0, labels > 0, spacing))
+            per_cls = [
+                jnp.stack(metric_percase(pred == c, labels == c, spacing))
+                for c in range(1, num_classes + 1)
+            ]
+            return metric_all, jnp.stack(per_cls)
+
+        self._metrics_volume = jax.jit(metrics_volume)
+
+        def metrics_slices(pred, labels, spacing, valid_shape):
+            # per-slice 2D metrics (valid_mode="slice", al_trainer.py:1415-1473)
+            def one(p, l):
+                return metrics_volume(
+                    p[None], l[None], spacing, jnp.stack([1, valid_shape[1], valid_shape[2]])
+                )
+
+            return jax.vmap(one)(pred, labels)
+
+        self._metrics_slices = jax.jit(metrics_slices)
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+    def on_train_start(self):
+        (
+            self.labeled_dataset,
+            self.pool_dataset,
+            self.valid_dataset,
+            self.active_dataset,
+            self.valid_dataloader,
+        ) = self.get_data()
+
+        self._setup_loss()
+        self._setup_active_selector()
+        self._make_programs()
+
+        self.current_round = 0
+
+        if self.config.maximum_save_metric is None:
+            if self.config.save_metric_name == "dice":
+                self.config.maximum_save_metric = True
+            elif self.config.save_metric_name in ("hd", "loss"):
+                self.config.maximum_save_metric = False
+            else:
+                raise ValueError(
+                    f"{self.config.save_metric_name} is not a valid save metric"
+                )
+
+        if self.resume is not None:
+            self.load_state_dict(self.resume)
+
+        self._print_train_info()
+        self._check_data_sanity()
+
+        if self.config.init_round_path:
+            round_0 = get_path(self.config.init_round_path)
+            for name in ("model.msgpack", "model.pth"):
+                if (round_0 / "best_model" / name).is_file():
+                    self.load_model_checkpoint(round_0 / "best_model" / name)
+                    break
+            self.active_dataset.load_data_list(round_0 / "data_list.json")
+            self.perform_real_test()
+            self.current_round = 1
+
+    def _print_train_info(self):
+        config_path = (
+            get_path(self.config_path)
+            if self.config_path
+            else self.work_path / "config.txt"
+        )
+        sink = add_file_sink(self.logger, config_path, "w")
+        self.logger.info("Training summary:")
+        for k, v in self.config._config_dict.items():
+            self.logger.info(f"  {k}: {v}")
+        self.logger.info(
+            f"  augmentation: {json.dumps(self._aug_params_dict, indent=2)}"
+        )
+        self.logger.info(f"  devices: {jax.devices()}")
+        remove_sink(self.logger, sink)
+        self.config.save(config_path.parent / f"{config_path.stem}.json")
+
+    def _check_data_sanity(self, num: int = 50):
+        """Augmented overlay PNGs for visual review (al_trainer.py:1025-1036).
+
+        Augmentation lives on device here, so samples go through one jitted
+        recipe application before rendering.
+        """
+        if len(self.active_dataset.pool_dataset) == 0:
+            return
+        sanity_path = self.work_path / "sanity"
+        sanity_path.mkdir(parents=True, exist_ok=True)
+        recipe = get_train_transform(
+            self.DATASET_KEYS[self.config.dataset], self.config.do_augment
+        )
+        apply = jax.jit(recipe.apply)
+        ds = self.active_dataset.pool_dataset
+        for i in range(num):
+            sample = ds.get_sample(i % min(2, len(ds)))
+            key = jax.random.fold_in(self.root_key, 10_000 + i)
+            img, lbl = apply(
+                key, jnp.asarray(sample["image"]), jnp.asarray(sample["label"])
+            )
+            overlay = draw_mask(np.asarray(img), np.asarray(lbl))
+            Image.fromarray(overlay).save(sanity_path / f"{i + 1}.png")
+
+    def on_round_start(self):
+        data_list_path = self.work_path / f"round_{self.current_round}/data_list.json"
+
+        if self.current_round > 0 and (
+            self.current_round > 1 or self.config.init_round_path is None
+        ):
+            self.load_model_checkpoint(
+                self.work_path / f"round_{self.current_round - 1}/best_model"
+            )
+
+        if self.config.active_learning:
+            if self.current_round == 0 and self.config.init_data_list:
+                self.active_dataset.load_data_list(self.config.init_data_list)
+            else:
+                scorer = ModelScorer(self.model, self.state)
+                new_samples = self.active_selector.select_next_batch(
+                    self.active_dataset,
+                    self.config.budget,
+                    scorer,
+                    seed=self.seed + self.current_round,
+                )
+                self.active_dataset.extend_train_set(new_samples)
+        else:
+            self.active_dataset.extend_train_set(
+                list(self.active_dataset.pool_dataset.image_idx)
+            )
+
+        # fresh weights per round unless persisted (al_trainer.py:1075-1083)
+        if self.current_round > 0:
+            self._build_model(round_key=self.current_round)
+            if self.config.persist_model_weight and (
+                self.current_round > 1 or self.config.init_round_path is None
+            ):
+                self.load_model_checkpoint(
+                    self.work_path / f"round_{self.current_round - 1}/best_model"
+                )
+
+        self.active_dataset.save_data_list(data_list_path)
+        if self.use_wandb:
+            self.wandb_runner.log_artifact(
+                data_list_path,
+                name=f"data_list_{self.wandb_runner.id}",
+                aliases=[f"round_{self.current_round}"],
+                type="data_list",
+            )
+
+        self.train_dataloader = self.get_train_dataloader(self.active_dataset)
+
+        self.current_epoch = 0
+        self.current_iter = 0
+        self.current_patience = 0
+        self.state = self.state.replace(step=jnp.zeros((), jnp.int32))
+
+        default = -np.inf if self.config.maximum_save_metric else np.inf
+        self._best_valid_metric = default
+        self._cur_valid_metric = default
+
+        labeled_size, pool_size = self.active_dataset.get_size()
+        self.logger.info("")
+        self.logger.info(f"Round {self.current_round}:")
+        self.logger.info(f"Labeled size: {labeled_size}")
+        self.logger.info(f"Pool size: {pool_size}")
+
+    def on_round_end(self):
+        ckpt_path = self.work_path / f"round_{self.current_round}/final_model"
+        self.save_state_dict(ckpt_path, True)
+        self.load_model_checkpoint(
+            self.work_path / f"round_{self.current_round}/best_model"
+        )
+        self.perform_real_test()
+        self.logger.info("")
+        self.current_round += 1
+
+    def on_epoch_start(self):
+        self._epoch_start_time = time.time()
+        self.logger.info("")
+        self.logger.info(f"Epoch {self.current_epoch}:")
+
+    def on_epoch_end(self):
+        self.current_epoch += 1
+        elapsed = time.time() - self._epoch_start_time
+        self.logger.info(f"Epoch time elapsed: {elapsed:.3f} seconds")
+        for h in self.logger.handlers:
+            h.flush()
+
+    def on_train_epoch_start(self):
+        self._train_start_time = time.time()
+        self.logger.info("Train")
+        self.epoch_train_outputs = []
+
+    def on_train_epoch_end(self):
+        if (
+            self.config.save_freq_epoch
+            and (self.current_epoch + 1) % self.config.save_freq_epoch == 0
+        ):
+            self.save_state_dict(
+                self.work_path
+                / f"round_{self.current_round}/epoch_{self.current_epoch}",
+                True,
+            )
+        if self.epoch_train_outputs:
+            train_loss = float(np.mean([o["loss"] for o in self.epoch_train_outputs]))
+            self.logger.info(f"Loss ({self.config.loss_name}): {train_loss}")
+            if self.use_wandb:
+                self.wandb_runner.log(
+                    {
+                        f"round_{self.current_round}/train/epoch/loss": train_loss,
+                        f"round_{self.current_round}_train_epoch": self.current_epoch,
+                        f"round_{self.current_round}_train_iter": self.current_iter,
+                    }
+                )
+        elapsed = time.time() - self._train_start_time
+        self.logger.info(f"Train time elapsed: {elapsed:.3f} seconds")
+
+    # ------------------------------------------------------------------
+    # steps
+    # ------------------------------------------------------------------
+    def train_step(self, sampled_batch):
+        start = time.time()
+        self.logger.info(f"Iteration {self.current_iter}:")
+
+        images = jnp.asarray(sampled_batch["image"], jnp.float32)
+        labels = jnp.asarray(sampled_batch["label"], jnp.int32)
+
+        self.state, metrics = self._train_step(self.state, images, labels, self.root_key)
+        loss = float(metrics["loss"])
+        lr = float(metrics.get("lr", self.config.start_lr))
+        self.logger.info(f"lr: {lr}")
+        self.logger.info(f"Loss: {loss}")
+        self.epoch_train_outputs.append({"loss": loss})
+
+        if self.use_wandb:
+            self.wandb_runner.log(
+                {
+                    f"round_{self.current_round}/train/iter/lr": lr,
+                    f"round_{self.current_round}/train/iter/loss": loss,
+                    f"round_{self.current_round}_train_epoch": self.current_epoch,
+                    f"round_{self.current_round}_train_iter": self.current_iter,
+                }
+            )
+
+        elapsed = time.time() - start
+        self.logger.info(f"Iteration time elapsed: {elapsed:.3f} seconds")
+        self.logger.info("")
+        self.current_iter += 1
+
+    def _eval_batch(self, sampled_batch):
+        """Shared valid/test evaluation of one host batch.
+
+        Pipeline (mirrors ``valid_volumns``/``valid_slices``
+        :1415-1537): host z-score at native res → host antialiased resize to
+        the model size → jitted forward (slice stack, one program) → host
+        nearest resize of the argmax back to native → bucket-padded jitted
+        metrics program. Only mask resizes stay on host; model + metrics run
+        on device with a handful of cached compilations.
+        """
+        from ..data.base import host_joint_resize, host_zscore
+
+        images = np.asarray(sampled_batch["image"], np.float32)
+        labels = np.asarray(sampled_batch["label"], np.int32)
+
+        if self.config.valid_mode == "volumn" and images.ndim == 5:
+            # (1, D, H, W, C) volume → slice stack (al_trainer.py:1487)
+            assert images.shape[0] == 1
+            images, labels = images[0], labels[0]
+            slices_mode = False
+        else:
+            slices_mode = True
+
+        n, h, w = labels.shape[0], labels.shape[-2], labels.shape[-1]
+        mh, mw = self._model_input_size()
+
+        model_imgs = np.empty((n, mh, mw, images.shape[-1]), np.float32)
+        model_lbls = np.empty((n, mh, mw), np.int32)
+        for i in range(n):
+            img = host_zscore(images[i]) if self.config.do_normalize else images[i]
+            model_imgs[i], model_lbls[i] = host_joint_resize(img, labels[i], (mh, mw))
+
+        # pad the slice axis so the forward program has a fixed batch shape
+        pn = _bucket(n, 4)
+        if pn != n:
+            model_imgs = np.pad(model_imgs, ((0, pn - n), (0, 0), (0, 0), (0, 0)))
+            model_lbls = np.pad(model_lbls, ((0, pn - n), (0, 0), (0, 0)))
+        pred, loss = self._forward_eval(
+            self.state.params,
+            self.state.batch_stats,
+            jnp.asarray(model_imgs),
+            jnp.asarray(model_lbls),
+        )
+        pred = np.asarray(pred)[:n]
+
+        if (mh, mw) != (h, w):
+            pred_native = np.stack(
+                [
+                    np.asarray(
+                        Image.fromarray(p.astype(np.int32), mode="I").resize(
+                            (w, h), Image.NEAREST
+                        )
+                    )
+                    for p in pred
+                ]
+            ).astype(np.int32)
+        else:
+            pred_native = pred
+
+        ph, pw = _bucket(h, 32), _bucket(w, 32)
+        pred_native = np.pad(pred_native, ((0, pn - n), (0, ph - h), (0, pw - w)))
+        labels_pad = np.pad(labels, ((0, pn - n), (0, ph - h), (0, pw - w)))
+
+        spacing = sampled_batch.get("spacing")
+        if spacing is not None and spacing[0] is not None:
+            sp = np.roll(np.asarray(spacing[0], np.float32), 1)
+            if sp.size == 2:
+                sp = np.concatenate([[1.0], sp])
+        else:
+            sp = np.ones(3, np.float32)
+
+        fn = self._metrics_slices if slices_mode else self._metrics_volume
+        metric_all, per_cls = fn(
+            jnp.asarray(pred_native),
+            jnp.asarray(labels_pad),
+            jnp.asarray(sp),
+            jnp.asarray([n, h, w], jnp.int32),
+        )
+        metric_all = np.atleast_2d(np.asarray(metric_all))[:n]
+        per_cls = np.asarray(per_cls)
+        if per_cls.ndim == 2:
+            per_cls = per_cls[None]
+        per_cls = per_cls[:n]
+        return metric_all, per_cls, float(loss)
+
+    def valid_step(self, sampled_batch):
+        metric_all, metric, loss = self._eval_batch(sampled_batch)
+        self.epoch_valid_outputs.append(
+            {"metric_all": metric_all, "metric": metric, "loss": loss}
+        )
+
+    def on_valid_epoch_start(self):
+        self._valid_start_time = time.time()
+        self.logger.info("Valid")
+        self.epoch_valid_outputs = []
+
+    @staticmethod
+    def _is_improved(old_metric, new_metric, maximum):
+        return old_metric < new_metric if maximum else old_metric > new_metric
+
+    def on_valid_epoch_end(self):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            avg_metric_all = np.nanmean(
+                np.concatenate([o["metric_all"] for o in self.epoch_valid_outputs]), 0
+            )
+            avg_metric_per_cls = np.nanmean(
+                np.concatenate([o["metric"] for o in self.epoch_valid_outputs]), 0
+            )
+            loss = float(np.nanmean([o["loss"] for o in self.epoch_valid_outputs]))
+
+            avg_dsc = float(np.mean(avg_metric_per_cls[:, 0]))
+            avg_hd = float(np.nanmean(avg_metric_per_cls[:, 1]))
+
+        classes = self.valid_dataset.CLASSES
+        self.logger.info("Valid results (DSC, HD, ASD, JSD):")
+        for cid in classes:
+            if cid == 0:
+                self.logger.info(f"  all: {avg_metric_all.tolist()}")
+            else:
+                self.logger.info(f"  {classes[cid]}: {avg_metric_per_cls[cid - 1].tolist()}")
+        self.logger.info(f"Average: {np.nanmean(avg_metric_per_cls, 0).tolist()}")
+        self.logger.info(f"loss: {loss}")
+
+        if self.config.save_metric_name == "dice":
+            self._cur_valid_metric = avg_dsc
+        elif self.config.save_metric_name == "hd":
+            self._cur_valid_metric = avg_hd
+        elif self.config.save_metric_name == "loss":
+            self._cur_valid_metric = loss
+
+        if self.use_wandb:
+            self.wandb_runner.log(
+                {
+                    f"round_{self.current_round}/valid/metric/dsc": avg_dsc,
+                    f"round_{self.current_round}/valid/metric/hd": avg_hd,
+                    f"round_{self.current_round}/valid/metric/loss": loss,
+                    f"round_{self.current_round}_train_epoch": self.current_epoch,
+                    f"round_{self.current_round}_train_iter": self.current_iter,
+                    f"round_{self.current_round}_valid_step": self.current_iter,
+                }
+            )
+
+        if self._is_improved(
+            self._best_valid_metric, self._cur_valid_metric, self.config.maximum_save_metric
+        ):
+            self._best_valid_metric = self._cur_valid_metric
+            self.logger.info(
+                f"New best metric ({self.config.save_metric_name}): {self._cur_valid_metric}"
+            )
+            self.save_state_dict(self.work_path / f"round_{self.current_round}/best_model")
+            self.save_state_dict(
+                self.work_path
+                / f"round_{self.current_round}/iter_{self.current_iter}_{self._best_valid_metric:.4f}"
+            )
+            self.current_patience = 0
+        else:
+            self.current_patience += 1
+
+        elapsed = time.time() - self._valid_start_time
+        self.logger.info(f"current_patience: {self.current_patience}")
+        self.logger.info(f"Valid time elapsed: {elapsed:.3f} seconds")
+
+    # ------------------------------------------------------------------
+    # loops
+    # ------------------------------------------------------------------
+    def train(self):
+        self.on_train_start()
+        while self.current_round < self.config.num_rounds:
+            self.on_round_start()
+            while not self.is_finished():
+                self.on_epoch_start()
+                self.on_train_epoch_start()
+                for sampled_batch in self.train_dataloader:
+                    if self.is_finished():
+                        break
+                    self.train_step(sampled_batch)
+                    self.valid()
+                self.on_train_epoch_end()
+                self.on_epoch_end()
+            self.on_round_end()
+        self.on_train_end()
+
+    def valid(self):
+        if self.current_iter % self.config.valid_freq_iter == 0:
+            self.on_valid_epoch_start()
+            for sampled_batch in self.valid_dataloader:
+                self.valid_step(sampled_batch)
+            self.on_valid_epoch_end()
+
+    def is_finished(self):
+        if self.current_iter < self.config.min_iter:
+            return False
+        if (
+            self.config.early_stop_max_patience
+            and self.current_patience >= self.config.early_stop_max_patience
+        ):
+            self.logger.info("Exceeded maximum patience. Training will be early stopped")
+            return True
+        return self.current_iter >= self.config.num_iters
+
+    def run_training(self):
+        self.train()
+
+    # ------------------------------------------------------------------
+    # test
+    # ------------------------------------------------------------------
+    def perform_real_test(self):
+        if not hasattr(self, "_forward_eval"):
+            # --test-only path: build the eval programs without training
+            self._setup_loss()
+            self._make_programs()
+        if not hasattr(self, "valid_dataset"):
+            self.valid_dataset = self.get_dataset("valid")
+        test_dataset = self.get_dataset("test")
+        test_loader = BatchLoader(
+            test_dataset,
+            batch_size=self.config.valid_batch_size,
+            shuffle=False,
+            drop_last=False,
+            device_put=False,
+        )
+
+        metric_all_list, metric_list = [], []
+        for sampled_batch in test_loader:
+            metric_all, metric, _ = self._eval_batch(sampled_batch)
+            metric_all_list.extend(metric_all)
+            metric_list.extend(metric)
+
+        metric_all_arr = np.asarray(metric_all_list)  # (N, 4)
+        metric_arr = np.asarray(metric_list)  # (N, C, 4)
+        classes = test_dataset.CLASSES
+        metric_name = {0: "DSC", 1: "HD", 2: "ASD", 3: "JSD"}
+
+        dataframe_dict = {}
+        for class_id in classes:
+            for metric_id, mname in metric_name.items():
+                if class_id == 0:
+                    dataframe_dict[f"all-{mname}"] = metric_all_arr[:, metric_id].tolist()
+                else:
+                    dataframe_dict[f"{classes[class_id]}-{mname}"] = metric_arr[
+                        :, class_id - 1, metric_id
+                    ].tolist()
+
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            avg_metric_all = np.nanmean(metric_all_arr, 0)
+            avg_metric_per_cls = np.nanmean(metric_arr, 0)
+            overall = np.nanmean(avg_metric_per_cls, 0)
+
+        self.logger.info("Real test results (DSC, HD, ASD, JSD):")
+        for cid in classes:
+            if cid == 0:
+                self.logger.info(f"  all: {avg_metric_all.tolist()}")
+            else:
+                self.logger.info(f"  {classes[cid]}: {avg_metric_per_cls[cid - 1].tolist()}")
+        self.logger.info(f"Average: {overall.tolist()}")
+
+        if self.use_wandb:
+            self.wandb_runner.log(
+                {
+                    "test/metric/dsc_all": float(avg_metric_all[0]),
+                    "test/metric/hd_all": float(avg_metric_all[1]),
+                    "test/metric/dsc": float(overall[0]),
+                    "test/metric/hd": float(overall[1]),
+                    "test/metric/asd": float(overall[2]),
+                    "test/metric/jc": float(overall[3]),
+                    "round_step": self.current_round,
+                }
+            )
+
+        import csv
+
+        write_csv = self.work_path / f"test_mean_round_{self.current_round}.csv"
+        with open(write_csv, "w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(list(dataframe_dict.keys()))
+            writer.writerows(zip(*dataframe_dict.values()))
+
+        return {
+            "dsc": float(overall[0]),
+            "hd": float(overall[1]),
+            "asd": float(overall[2]),
+            "jc": float(overall[3]),
+        }

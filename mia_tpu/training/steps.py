@@ -45,15 +45,23 @@ def make_train_step(
     lr_schedule: Callable | None = None,
     mesh=None,
     donate: bool = True,
+    preprocess_fn: Callable | None = None,
 ):
     """Build ``step(state, images, labels, rng) -> (state, metrics)``.
 
     ``loss_fn(logits, labels) -> (total, ce, dice)`` or a scalar.
     ``images`` NHWC float32, ``labels`` (B, H, W) int.
+    ``preprocess_fn(rng, images, labels) -> (images, labels)`` runs INSIDE the
+    jitted program — this is where the fused on-device augmentation pipeline
+    (``mia_tpu.transforms``) plugs in, replacing DataLoader-worker host
+    augmentation (reference ``al_trainer.py:659-667``).
     """
 
     def train_step(state: TrainState, images, labels, rng):
         step_rng = jax.random.fold_in(rng, state.step)
+        if preprocess_fn is not None:
+            aug_rng, step_rng = jax.random.split(step_rng)
+            images, labels = preprocess_fn(aug_rng, images, labels)
 
         def loss_wrapped(params):
             logits, new_stats = _forward(state, params, state.batch_stats, images, True, step_rng)

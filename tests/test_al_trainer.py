@@ -1,0 +1,130 @@
+"""End-to-end ALTrainer test: deterministic-seed AL rounds on a synthetic
+FUGC pool (SURVEY §4 test strategy)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from mia_tpu.training import ALConfig, ALTrainer
+
+from synth_data import make_fugc
+
+
+@pytest.fixture(scope="module")
+def fugc_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fugc_data")
+    make_fugc(root, n_train=8, n_val=2, n_test=2, size=(32, 32))
+    return root
+
+
+def _config(root, **over):
+    base = dict(
+        seed=7,
+        dataset="fugc",
+        data_path=str(root),
+        in_channels=3,
+        num_classes=2,
+        image_size=32,
+        batch_size=2,
+        valid_batch_size=1,
+        valid_mode="slice",
+        active_learning=True,
+        num_rounds=2,
+        budget=2,
+        active_selector_name="entropy",
+        num_iters=3,
+        valid_freq_iter=2,
+        lr_warmup_iter=1,
+        start_lr=1e-3,
+        do_augment=True,
+        do_normalize=True,
+        do_oversample=True,
+        optimizer_name="adam",
+        dropout_prob=0.0,
+    )
+    base.update(over)
+    return base
+
+
+def _tiny_trainer(root, tmp_path, **over):
+    trainer = ALTrainer(work_path=tmp_path, config=_config(root, **over), verbose=False)
+    # shrink the UNet for test speed
+    trainer._unet_config_full = trainer._unet_config
+
+    def small_cfg():
+        cfg = trainer._unet_config_full()
+        import dataclasses
+
+        return dataclasses.replace(cfg, channels_list=(4, 8))
+
+    trainer._unet_config = small_cfg
+    return trainer
+
+
+def test_al_training_end_to_end(fugc_root, tmp_path):
+    trainer = _tiny_trainer(fugc_root, tmp_path)
+    trainer.initialize()
+    trainer.run_training()
+
+    work = trainer.work_path
+    # round layout (al_trainer.py:1044-1181)
+    for r in range(2):
+        assert (work / f"round_{r}/data_list.json").is_file()
+        assert (work / f"round_{r}/best_model/model.msgpack").is_file()
+        assert (work / f"round_{r}/final_model/model.msgpack").is_file()
+        assert (work / f"test_mean_round_{r}.csv").is_file()
+    # AL grew the labeled set by budget each round
+    dl0 = json.loads((work / "round_0/data_list.json").read_text())
+    dl1 = json.loads((work / "round_1/data_list.json").read_text())
+    assert len(dl0["labeled_image_idx"]) == 2
+    assert len(dl1["labeled_image_idx"]) == 4
+    assert set(dl0["labeled_image_idx"]) <= set(dl1["labeled_image_idx"])
+    # config snapshot + sanity overlays + log exist
+    assert (work / "config.json").is_file()
+    assert (work / "config.txt").is_file()
+    assert any((work / "sanity").glob("*.png"))
+    # test CSV has per-case rows with the per-class columns
+    header = (work / "test_mean_round_1.csv").read_text().splitlines()[0]
+    assert "all-DSC" in header and "anterior lip-DSC" in header
+
+
+def test_supervised_mode_uses_all_data(fugc_root, tmp_path):
+    trainer = _tiny_trainer(
+        fugc_root, tmp_path, active_learning=False, num_iters=2, valid_freq_iter=10
+    )
+    trainer.initialize()
+    trainer.run_training()
+    dl = json.loads((trainer.work_path / "round_0/data_list.json").read_text())
+    assert len(dl["labeled_image_idx"]) == 8
+    assert len(dl["pool_image_idx"]) == 0
+
+
+def test_test_only_path(fugc_root, tmp_path):
+    trainer = _tiny_trainer(fugc_root, tmp_path, active_learning=False)
+    trainer.initialize()
+    result = trainer.perform_real_test()
+    assert set(result) == {"dsc", "hd", "asd", "jc"}
+    assert np.isfinite(result["dsc"])
+
+
+def test_checkpoint_roundtrip(fugc_root, tmp_path):
+    # valid_freq_iter=1 so a validation (and hence best_model) happens
+    trainer = _tiny_trainer(
+        fugc_root, tmp_path, num_iters=2, num_rounds=1, valid_freq_iter=1
+    )
+    trainer.initialize()
+    trainer.run_training()
+    ckpt = trainer.work_path / "round_0/best_model"
+    assert (ckpt / "model.msgpack").is_file()
+
+    trainer2 = _tiny_trainer(fugc_root, tmp_path / "w2", num_iters=1, num_rounds=1)
+    trainer2.initialize()
+    before = np.asarray(
+        trainer2.state.params["decoder"]["seg_output"]["kernel"]
+    ).copy()
+    trainer2.load_model_checkpoint(ckpt)
+    after = np.asarray(trainer2.state.params["decoder"]["seg_output"]["kernel"])
+    loaded = np.asarray(trainer.state.params["decoder"]["seg_output"]["kernel"])
+    np.testing.assert_array_equal(after, loaded)
+    assert not np.array_equal(before, after)
