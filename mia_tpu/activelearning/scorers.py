@@ -18,7 +18,6 @@ import jax.numpy as jnp
 
 from ..data.loader import collate
 from ..losses import cross_entropy, soft_dice_loss
-from ..training.state import TrainState
 
 
 def entropy_score(probs: jnp.ndarray, smooth: float = 1e-8) -> jnp.ndarray:
@@ -53,7 +52,9 @@ class ModelScorer:
     the model apply fn + shapes, so rounds reuse them.
     """
 
-    def __init__(self, model, state: TrainState):
+    def __init__(self, model, state):
+        # ``state`` is anything exposing .params and .batch_stats
+        # (mia_tpu.training.TrainState or a lightweight stand-in)
         self.model = model
         self.state = state
 

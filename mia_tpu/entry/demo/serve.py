@@ -1,0 +1,385 @@
+"""``demo_serve``: human-in-the-loop AL demo (reference
+``src/entry/demo/serve.py``).
+
+The session logic (feature extraction → KMean selection → jitted UNet
+pseudo-labels → accept → zip dataset) lives in ``DemoSession`` so it is
+fully testable without a UI; ``serve_entry`` wraps it in the same Gradio
+Blocks layout (gradio is import-guarded — absent in this image).
+
+Foundation features: BiomedCLIP via open_clip when installed
+(``serve.py:48-104``); otherwise the specialist UNet's encoder features
+serve as the loaded features (documented fallback).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+import zipfile
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from mia_tpu.activelearning import KMeanSelector, ModelScorer
+from mia_tpu.data import ActiveDataset, ExtendableDataset, ImageDataset
+from mia_tpu.models import UNet, UNetConfig, UnetProcessor
+from mia_tpu.utils.common import draw_mask
+
+IMAGES_PER_ROW = 10
+IMAGE_SIZE = 256
+
+CLASS_COLOR_MAP = {1: "#ff0000", 2: "#00ff00"}
+
+
+def hex_to_rgb(h: str) -> list[int]:
+    h = h[1:]
+    return [int(h[i : i + 2], 16) for i in range(0, 6, 2)]
+
+
+class DemoSession:
+    """State + operations behind the demo UI."""
+
+    def __init__(
+        self,
+        data_dir: Path | str = "data",
+        budget: int = 10,
+        batch_size: int = 4,
+        loaded_feature_weight: float = 1.0,
+        sharp_factor: float = 1.0,
+        loaded_feature_only: bool = False,
+        model_ckpt: str | Path | None = None,
+        image_size: int = IMAGE_SIZE,
+    ):
+        self.data_dir = Path(data_dir)
+        self.budget = budget
+        self.batch_size = batch_size
+        self.loaded_feature_weight = loaded_feature_weight
+        self.sharp_factor = sharp_factor
+        self.loaded_feature_only = loaded_feature_only
+        self.image_size = image_size
+
+        self.train_set: list = []
+        self.pool_set: list = []
+        self.selected_set: list = []
+        self.annotated_set: list = []
+        self.feature_dict: dict | None = None
+        self.current_dataset = "dataset"
+
+        cfg = UNetConfig(
+            dimension=2,
+            in_channels=1,
+            out_classes=3,
+            channels_list=(32, 64, 128, 256, 512),
+            block_type="plain",
+            normalization="batch",
+            dropout_prob=None,
+        )
+        self.model = UNet(cfg)
+        self.processor = UnetProcessor(image_size=(image_size, image_size))
+        sample = jnp.zeros((1, image_size, image_size, 1))
+        self.variables = self.model.init(jax.random.PRNGKey(0), sample, train=False)
+        if model_ckpt:
+            self.load_specialist_model(model_ckpt)
+
+        model = self.model
+
+        def batched_predict(variables, images):
+            """Jitted batched inference endpoint (BASELINE config #5)."""
+            logits = model.apply(variables, images, train=False)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+        self._predict = jax.jit(batched_predict)
+
+    # -- model ------------------------------------------------------------
+    def load_specialist_model(self, ckpt: str | Path):
+        ckpt = Path(ckpt)
+        if ckpt.suffix in (".pth", ".pt"):
+            import torch
+
+            from mia_tpu.models import import_torch_unet_checkpoint
+
+            sd = torch.load(ckpt, map_location="cpu", weights_only=True)
+            self.variables = import_torch_unet_checkpoint(
+                sd, num_levels=self.model.cfg.num_levels, block_type="plain"
+            )
+        else:
+            from flax import serialization
+
+            self.variables = serialization.from_bytes(
+                self.variables, Path(ckpt).read_bytes()
+            )
+
+    def predict_pseudo_label(self, image_pil: Image.Image) -> np.ndarray:
+        """One image → denoised (H, W) class map (``serve.py:219-229``)."""
+        arr = np.asarray(image_pil.convert("L"), np.float32)[None, ..., None] / 255.0
+        h, w = arr.shape[1], arr.shape[2]
+        x = self.processor.preprocess(jnp.asarray(arr))
+        pred = self._predict(self.variables, x)
+        pred = self.processor.postprocess(pred, (h, w))
+        return np.asarray(pred[0])
+
+    def predict_batch(self, images: np.ndarray) -> np.ndarray:
+        """Batched (N, H, W, 1) float32 → (N, H, W) class maps."""
+        x = self.processor.preprocess(jnp.asarray(images))
+        return np.asarray(self._predict(self.variables, x))
+
+    # -- features / selection ---------------------------------------------
+    def _foundation_features(self, active_dataset: ActiveDataset) -> dict:
+        try:  # BiomedCLIP (absent in this image → specialist fallback)
+            from open_clip import create_model_from_pretrained  # noqa: F401
+
+            return self._biomedclip_features(active_dataset)
+        except Exception:
+            scorer = ModelScorer(self.model, _ScorerState(self.variables))
+            from mia_tpu.activelearning.scorers import sweep_pool
+
+            feature_dict = {}
+            for ds in (
+                active_dataset.get_train_dataset(),
+                active_dataset.get_pool_dataset(),
+            ):
+                if len(ds) == 0:
+                    continue
+                feats, names = sweep_pool(ds, self.batch_size, scorer.enc_feature)
+                for name, feat in zip(names, feats):
+                    feature_dict[name] = feat
+            return feature_dict
+
+    def _biomedclip_features(self, active_dataset):  # pragma: no cover
+        from open_clip import create_model_from_pretrained
+
+        model, preprocess = create_model_from_pretrained(
+            "hf-hub:microsoft/biomedclip-pubmedbert_256-vit_base_patch16_224"
+        )
+        import torch
+
+        feature_dict = {}
+        for ds in (
+            active_dataset.get_train_dataset(),
+            active_dataset.get_pool_dataset(),
+        ):
+            for i in range(len(ds)):
+                sample = ds.get_sample(i)
+                img = Image.fromarray(
+                    (sample["image"][..., 0] * 255).astype(np.uint8)
+                ).convert("RGB")
+                with torch.no_grad():
+                    feat = model.encode_image(preprocess(img)[None])
+                feature_dict[sample["case_name"]] = feat[0].numpy()
+        return feature_dict
+
+    def active_select(self) -> list:
+        annotated_paths = [x["path"] for x in self.annotated_set]
+        train_paths = list(set(list(self.train_set) + annotated_paths))
+        train_dataset = ExtendableDataset(
+            ImageDataset(train_paths, image_channels=1, image_size=self.image_size)
+        )
+        pool_dataset = ExtendableDataset(
+            ImageDataset(self.pool_set, image_channels=1, image_size=self.image_size)
+        )
+        active_dataset = ActiveDataset(train_dataset, pool_dataset)
+        if self.feature_dict is None:
+            self.feature_dict = self._foundation_features(active_dataset)
+
+        selector = KMeanSelector(
+            batch_size=self.batch_size,
+            metric="l2",
+            feature_dict=self.feature_dict,
+            loaded_feature_weight=self.loaded_feature_weight,
+            sharp_factor=self.sharp_factor,
+            loaded_feature_only=self.loaded_feature_only,
+        )
+        scorer = ModelScorer(self.model, _ScorerState(self.variables))
+        self.selected_set = selector.select_next_batch(
+            active_dataset, self.budget, scorer, seed=0
+        )
+        self.current_dataset = str(uuid.uuid4())
+        return self.selected_set
+
+    # -- annotation ---------------------------------------------------------
+    def editor_value(self, image_path) -> dict:
+        image_pil = Image.open(image_path).convert("L")
+        background = np.array(image_pil.convert("RGBA"))
+        pseudo = self.predict_pseudo_label(image_pil)
+        layer = np.zeros_like(background)
+        for cl, color in CLASS_COLOR_MAP.items():
+            layer[pseudo == cl] = hex_to_rgb(color) + [255]
+        return {"background": background, "layers": [layer], "composite": None}
+
+    def accept(self, image_path, background: np.ndarray, layer: np.ndarray):
+        """Brush layers → class mask, move to the annotated set
+        (``serve.py:305-336``)."""
+        binary = np.where(layer > 127, 255, 0)
+        h, w = layer.shape[0], layer.shape[1]
+        mask = np.zeros((h, w), np.uint8)
+        for cl, color in CLASS_COLOR_MAP.items():
+            hit = np.all(binary[:, :, :3] == hex_to_rgb(color), axis=-1)
+            mask[hit] = cl
+        rgb = background[..., :3]
+        entry = {
+            "path": str(image_path),
+            "image": background,
+            "mask": mask,
+            "visual": draw_mask(rgb, mask),
+        }
+        self.selected_set = [x for x in self.selected_set if str(x) != str(image_path)]
+        self.annotated_set.append(entry)
+        return entry
+
+    def create_download_dataset(self) -> Path:
+        dataset_dir = self.data_dir / "dataset"
+        if dataset_dir.exists():
+            shutil.rmtree(dataset_dir)
+        images_dir = dataset_dir / "images"
+        labels_dir = dataset_dir / "labels"
+        images_dir.mkdir(exist_ok=True, parents=True)
+        labels_dir.mkdir(exist_ok=True, parents=True)
+        zip_file = self.data_dir / "dataset.zip"
+        with zipfile.ZipFile(zip_file, "w") as archive:
+            for sample in self.annotated_set:
+                case_name = Path(sample["path"]).stem
+                Image.fromarray(sample["image"]).save(images_dir / f"{case_name}.png")
+                Image.fromarray(sample["mask"]).save(labels_dir / f"{case_name}.png")
+                archive.write(
+                    images_dir / f"{case_name}.png", arcname=f"images/{case_name}.png"
+                )
+                archive.write(
+                    labels_dir / f"{case_name}.png", arcname=f"labels/{case_name}.png"
+                )
+        return zip_file
+
+
+class _ScorerState:
+    """Minimal TrainState stand-in for ModelScorer (params + batch_stats)."""
+
+    def __init__(self, variables):
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+
+
+def serve_entry():  # pragma: no cover - needs gradio
+    try:
+        import gradio as gr
+    except ImportError as e:
+        raise SystemExit(
+            "demo_serve requires gradio, which is not installed in this image"
+        ) from e
+
+    session = DemoSession()
+
+    with gr.Blocks() as demo:
+        with gr.Accordion("Input"):
+            with gr.Row():
+                train_gallery = gr.Gallery(
+                    label="Train set", allow_preview=False,
+                    columns=IMAGES_PER_ROW // 2, show_label=True,
+                )
+                pool_gallery = gr.Gallery(
+                    label="Pool set", allow_preview=False,
+                    columns=IMAGES_PER_ROW // 2, show_label=True,
+                )
+
+            def gallery_change(image_list, target):
+                if image_list is None:
+                    return
+                paths = [x[0] for x in image_list]
+                if target == "train":
+                    session.train_set = paths
+                else:
+                    session.pool_set = paths
+                session.feature_dict = None
+
+            train_gallery.change(
+                lambda imgs: gallery_change(imgs, "train"), train_gallery, None
+            )
+            pool_gallery.change(
+                lambda imgs: gallery_change(imgs, "pool"), pool_gallery, None
+            )
+
+        with gr.Accordion():
+            budget_input = gr.Number(session.budget, label="Budget")
+            model_ckpt_input = gr.Text("./init_model.msgpack", label="Specialist Model Checkpoint")
+            batch_size_input = gr.Number(session.batch_size, label="Batch Size")
+            weight_input = gr.Number(
+                session.loaded_feature_weight, label="foundation_model_weight"
+            )
+            sharp_input = gr.Number(session.sharp_factor, label="sharp_factor")
+            budget_input.change(lambda x: setattr(session, "budget", int(x)), budget_input, None)
+            model_ckpt_input.change(
+                lambda x: session.load_specialist_model(x), model_ckpt_input, None
+            )
+            batch_size_input.change(
+                lambda x: setattr(session, "batch_size", int(x)), batch_size_input, None
+            )
+            weight_input.change(
+                lambda x: setattr(session, "loaded_feature_weight", x), weight_input, None
+            )
+            sharp_input.change(
+                lambda x: setattr(session, "sharp_factor", x), sharp_input, None
+            )
+
+        with gr.Accordion("Active Selection"):
+            select_button = gr.Button("Select")
+            with gr.Row():
+                selected_gallery = gr.Gallery(
+                    label="Selected samples", allow_preview=False,
+                    columns=IMAGES_PER_ROW // 2, show_label=True,
+                )
+                annotated_gallery = gr.Gallery(
+                    label="Annotated samples", allow_preview=True,
+                    columns=IMAGES_PER_ROW // 2, show_label=True, interactive=False,
+                )
+            image_editor = gr.ImageEditor(
+                label="Image Editor", interactive=True, sources=(),
+                brush=gr.Brush(
+                    colors=list(CLASS_COLOR_MAP.values()), color_mode="fixed"
+                ),
+                layers=False,
+            )
+            accept_button = gr.Button("Accept")
+            download_button = gr.DownloadButton(
+                label="Download Annotated Dataset", visible=False
+            )
+
+            select_button.click(lambda: session.active_select(), None, selected_gallery)
+
+            state = {"selected_image": None}
+
+            def gallery_select(data: gr.SelectData):
+                state["selected_image"] = data.value["image"]["path"]
+                return session.editor_value(state["selected_image"])
+
+            selected_gallery.select(gallery_select, None, image_editor)
+
+            def accept_click(value):
+                if value and value.get("layers") and state["selected_image"]:
+                    session.accept(
+                        state["selected_image"], value["background"], value["layers"][0]
+                    )
+                zip_path = session.create_download_dataset()
+                return (
+                    None,
+                    session.selected_set,
+                    [x["visual"] for x in session.annotated_set],
+                    gr.DownloadButton(value=str(zip_path), visible=True),
+                )
+
+            accept_button.click(
+                accept_click,
+                image_editor,
+                [image_editor, selected_gallery, annotated_gallery, download_button],
+            )
+
+    demo.launch(inbrowser=True)
+
+
+def main():
+    serve_entry()
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,8 @@ from .compound import (
     DCAndBCELoss,
     DCAndTopKLoss,
 )
+from .contrastive import prototype_contrastive_loss
+from .vat import vat_loss
 
 __all__ = [
     "soft_dice_loss",
@@ -26,4 +28,6 @@ __all__ = [
     "DCAndCELoss",
     "DCAndBCELoss",
     "DCAndTopKLoss",
+    "prototype_contrastive_loss",
+    "vat_loss",
 ]

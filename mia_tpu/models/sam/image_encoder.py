@@ -1,0 +1,247 @@
+"""SAM ViT image encoder (reference
+``src/models/segment_anything/modeling/image_encoder.py``).
+
+TPU-first notes: channel-last throughout; window partition is pure
+reshape/transpose (static shapes); decomposed relative positions use
+precomputed static gather indices; attention runs as batched einsums on the
+MXU with a ``compute_dtype`` knob for bfloat16. LoRA adapters on q,v hook in
+via ``lora_rank`` (see ``lora.py`` — the reference wraps torch ``qkv``
+modules at runtime, ``sam_lora_image_encoder.py:83-104``; in flax the
+adapters are declared parameters so the train step stays one jitted
+program).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import LayerNorm2d, MLPBlock
+
+
+def window_partition(x: jnp.ndarray, window_size: int):
+    """(B, H, W, C) → (B·nW, ws, ws, C) with zero padding (``:246-267``)."""
+    b, h, w, c = x.shape
+    pad_h = (window_size - h % window_size) % window_size
+    pad_w = (window_size - w % window_size) % window_size
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // window_size, window_size, wp // window_size, window_size, c)
+    windows = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window_size, window_size, c)
+    return windows, (hp, wp)
+
+
+def window_unpartition(windows, window_size: int, pad_hw, hw):
+    hp, wp = pad_hw
+    h, w = hw
+    b = windows.shape[0] // (hp * wp // window_size // window_size)
+    x = windows.reshape(
+        b, hp // window_size, wp // window_size, window_size, window_size, -1
+    )
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :w]
+
+
+def _rel_pos_indices(q_size: int, k_size: int) -> np.ndarray:
+    """Static gather indices into a (2·max(q,k)−1, C) rel-pos table
+    (``get_rel_pos``, ``:283-311``)."""
+    q_coords = np.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = np.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel.astype(np.int64)
+
+
+def resize_rel_pos(rel_pos: jnp.ndarray, max_rel_dist: int) -> jnp.ndarray:
+    """Linear 1-D interpolation of a rel-pos table to a new length (torch
+    ``F.interpolate(mode="linear")``, align_corners=False)."""
+    n = rel_pos.shape[0]
+    if n == max_rel_dist:
+        return rel_pos
+    pos = (jnp.arange(max_rel_dist) + 0.5) * n / max_rel_dist - 0.5
+    lo = jnp.clip(jnp.floor(pos), 0, n - 1).astype(jnp.int32)
+    hi = jnp.clip(lo + 1, 0, n - 1)
+    frac = jnp.clip(pos - lo, 0.0, 1.0)[:, None]
+    return rel_pos[lo] * (1 - frac) + rel_pos[hi] * frac
+
+
+def add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_size, k_size):
+    """MViTv2 decomposed rel-pos bias (``:314-351``). ``attn`` is
+    (B, heads, q_h·q_w, k_h·k_w); ``q`` (B, heads, q_h·q_w, C)."""
+    q_h, q_w = q_size
+    k_h, k_w = k_size
+    rh = resize_rel_pos(rel_pos_h, 2 * max(q_h, k_h) - 1)[
+        jnp.asarray(_rel_pos_indices(q_h, k_h))
+    ]
+    rw = resize_rel_pos(rel_pos_w, 2 * max(q_w, k_w) - 1)[
+        jnp.asarray(_rel_pos_indices(q_w, k_w))
+    ]
+    b, heads = q.shape[0], q.shape[1]
+    r_q = q.reshape(b, heads, q_h, q_w, -1)
+    rel_h = jnp.einsum("bnhwc,hkc->bnhwk", r_q, rh.astype(q.dtype))
+    rel_w = jnp.einsum("bnhwc,wkc->bnhwk", r_q, rw.astype(q.dtype))
+    attn = attn.reshape(b, heads, q_h, q_w, k_h, k_w)
+    attn = attn + rel_h[..., :, None] + rel_w[..., None, :]
+    return attn.reshape(b, heads, q_h * q_w, k_h * k_w)
+
+
+class Attention(nn.Module):
+    """Multi-head attention with optional decomposed rel-pos and optional
+    LoRA adapters on q and v (``image_encoder.py:185-240`` +
+    ``sam_lora_image_encoder.py:11-42``)."""
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = True
+    use_rel_pos: bool = False
+    input_size: Tuple[int, int] | None = None
+    lora_rank: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, _ = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+
+        if self.lora_rank > 0:
+            # frozen-base LoRA: q += x @ A_q @ B_q ; v += x @ A_v @ B_v
+            def lora(name):
+                a = nn.Dense(self.lora_rank, use_bias=False, dtype=self.dtype,
+                             name=f"lora_a_{name}")(x)
+                d = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                             kernel_init=nn.initializers.zeros,
+                             name=f"lora_b_{name}")(a)
+                return d.reshape(b, h * w, self.num_heads, head_dim)
+
+            qkv = qkv.at[:, :, 0].add(lora("q"))
+            qkv = qkv.at[:, :, 2].add(lora("v"))
+
+        q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # (B, heads, N, C)
+        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum(
+            "bnqc,bnkc->bnqk", q * scale, k, preferred_element_type=jnp.float32
+        )
+        if self.use_rel_pos:
+            size = self.input_size
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros, (2 * size[0] - 1, head_dim)
+            )
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros, (2 * size[1] - 1, head_dim)
+            )
+            attn = add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, (h, w), (h, w))
+
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+        out = jnp.einsum("bnqk,bnkc->bnqc", attn, v, preferred_element_type=jnp.float32)
+        out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class Block(nn.Module):
+    """Transformer block with window/global attention (``:119-182``)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    use_rel_pos: bool = False
+    window_size: int = 0
+    input_size: Tuple[int, int] | None = None
+    lora_rank: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        if self.window_size > 0:
+            h, w = x.shape[1], x.shape[2]
+            x, pad_hw = window_partition(x, self.window_size)
+        x = Attention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            use_rel_pos=self.use_rel_pos,
+            input_size=(
+                self.input_size
+                if self.window_size == 0
+                else (self.window_size, self.window_size)
+            ),
+            lora_rank=self.lora_rank,
+            dtype=self.dtype,
+            name="attn",
+        )(x)
+        if self.window_size > 0:
+            x = window_unpartition(x, self.window_size, pad_hw, (h, w))
+        x = shortcut + x
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        return x + MLPBlock(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
+
+
+class ImageEncoderViT(nn.Module):
+    """(B, H, W, 3) → (B, H/16, W/16, out_chans) embeddings (``:17-116``)."""
+
+    img_size: int = 1024
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    out_chans: int = 256
+    qkv_bias: bool = True
+    use_abs_pos: bool = True
+    use_rel_pos: bool = False
+    window_size: int = 0
+    global_attn_indexes: Tuple[int, ...] = ()
+    lora_rank: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        if self.use_abs_pos:
+            side = self.img_size // self.patch_size
+            pos = self.param(
+                "pos_embed", nn.initializers.zeros, (1, side, side, self.embed_dim)
+            )
+            x = x + pos.astype(self.dtype)
+
+        for i in range(self.depth):
+            x = Block(
+                dim=self.embed_dim,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                use_rel_pos=self.use_rel_pos,
+                window_size=self.window_size if i not in self.global_attn_indexes else 0,
+                input_size=(self.img_size // self.patch_size,) * 2,
+                lora_rank=self.lora_rank,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x)
+
+        x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype, name="neck_conv1")(x)
+        x = LayerNorm2d(dtype=self.dtype, name="neck_norm1")(x)
+        x = nn.Conv(
+            self.out_chans, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="neck_conv2"
+        )(x)
+        x = LayerNorm2d(dtype=self.dtype, name="neck_norm2")(x)
+        return x

@@ -1,0 +1,194 @@
+"""Device-side prompt self-generation for CPC-SAM.
+
+The reference's ``prompt_generate_random_fast``
+(``sam_dualmask_same_prompt_class_random_large.py:508-645``) leaves the
+device EVERY training iteration: pseudo-label → ``.cpu().numpy()`` →
+skimage connected components + ``cv2.distanceTransform`` + numpy randint →
+back to device tensors. Here the whole thing is ONE jitted program built on
+``mia_tpu.ops``: iterative CC labeling, exact EDT, and Gumbel-style random
+tie-breaking draws — no host sync in the hot loop.
+
+Fixed-shape deviation (documented): the reference samples a per-class point
+COUNT in ``[n0, n1]``, which changes tensor shapes per step. Here every
+class always gets ``n1`` point slots; a per-step random count masks the
+extras by REPEATING the first point of the class (duplicate points are how
+the reference itself pads missing classes, ``:602-611``). Distribution-level
+parity per SURVEY §7's RNG stance.
+
+Reference-bug parity: ``boxes_label`` is never assigned the class id
+(``:536, 654``), so box prompts always use class-0 corner embeddings —
+preserved.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import resize
+from ...ops.distance import squared_edt
+from ...ops.morphology import component_sizes_and_largest
+
+
+def _random_index_2d(rng, score: jnp.ndarray, k: int):
+    """k draws (with replacement) uniform over argmax pixels of ``score``.
+
+    Mirrors ``np.random.randint(0, len(argwhere(score == max)))`` by
+    sampling a categorical over the tied maxima.
+    """
+    flat = score.reshape(-1)
+    is_max = flat >= jnp.max(flat)
+    logits = jnp.where(is_max, 0.0, -1e30)
+    idx = jax.random.categorical(rng, logits, shape=(k,))
+    w = score.shape[1]
+    ys = idx // w
+    xs = idx % w
+    return jnp.stack([xs, ys], axis=1).astype(jnp.float32)  # (k, 2) as (x, y)
+
+
+def _random_in_mask(rng, mask: jnp.ndarray, k: int):
+    flat = mask.reshape(-1).astype(jnp.float32)
+    logits = jnp.where(flat > 0, 0.0, -1e30)
+    idx = jax.random.categorical(rng, logits, shape=(k,))
+    w = mask.shape[1]
+    return jnp.stack([idx % w, idx // w], axis=1).astype(jnp.float32)
+
+
+def _distance_to_zero(binary: jnp.ndarray) -> jnp.ndarray:
+    """cv2.distanceTransform semantics on a zero-padded mask (``:580-589``)."""
+    padded = jnp.pad(binary > 0, 1)
+    dist2 = squared_edt(~padded)
+    return jnp.sqrt(jnp.maximum(dist2, 0.0))[1:-1, 1:-1] * (binary > 0)
+
+
+def _jittered_bbox(rng, binary: jnp.ndarray, max_change_rate: float):
+    """Largest-region bbox with random outward jitter (``_get_bbox``,
+    ``:494-507``). Returns ((x1, y1), (x2, y2)) float."""
+    h, w = binary.shape
+    any_row = jnp.any(binary > 0, axis=1)
+    any_col = jnp.any(binary > 0, axis=0)
+    ys = jnp.arange(h)
+    xs = jnp.arange(w)
+    y1 = jnp.min(jnp.where(any_row, ys, h)).astype(jnp.float32)
+    y2 = jnp.max(jnp.where(any_row, ys, -1)).astype(jnp.float32)
+    x1 = jnp.min(jnp.where(any_col, xs, w)).astype(jnp.float32)
+    x2 = jnp.max(jnp.where(any_col, xs, -1)).astype(jnp.float32)
+
+    rx1, rx2, ry1, ry2 = jax.random.split(rng, 4)
+    fx = jnp.floor((x2 - x1) * max_change_rate)
+    fy = jnp.floor((y2 - y1) * max_change_rate)
+    # np.random.randint(-c, 1) / (0, c+1) with traced bounds via uniform floor
+    def randint(key, lo, hi):  # [lo, hi) with traced bounds
+        u = jax.random.uniform(key)
+        return jnp.floor(lo + u * (hi - lo))
+
+    x1j = jnp.clip(x1 + randint(rx1, -fx, 1.0), 0, w - 1)
+    x2j = jnp.clip(x2 + randint(rx2, 0.0, fx + 1.0), 0, w - 1)
+    y1j = jnp.clip(y1 + randint(ry1, -fy, 1.0), 0, h - 1)
+    y2j = jnp.clip(y2 + randint(ry2, 0.0, fy + 1.0), 0, h - 1)
+    return jnp.stack([jnp.stack([x1j, y1j]), jnp.stack([x2j, y2j])])
+
+
+def prompt_generate_random_fast(
+    rng: jax.Array,
+    coarse_probs: jnp.ndarray,
+    image_size: int,
+    mask_input_size: Tuple[int, int],
+    num_points_prompt: Tuple[int, int] = (1, 2),
+    bbox_change_rate: Tuple[float, float] = (0.1, 0.2),
+    israndom: bool = True,
+):
+    """coarse_probs (B, h, w, C) → prompts at ``image_size`` resolution.
+
+    Returns (points, points_random, fit_boxes, loose_boxes, mask_prompt)
+    with points = (coords (B, P, 2), labels (B, P)), boxes =
+    (coords (B, C-1, 2, 2), labels (B, C-1)), mask_prompt (B, Hm, Wm, 1).
+    """
+    b, h, w, num_class = coarse_probs.shape
+    max_pts = num_points_prompt[1]
+    total = num_class * max_pts
+
+    pred = jnp.argmax(coarse_probs, axis=-1).astype(jnp.int32)
+    if (h, w) != (image_size, image_size):
+        pred = resize(pred[..., None], (image_size, image_size), "nearest")[..., 0]
+
+    def one_image(rng, pred_i):
+        keys = jax.random.split(rng, num_class * 4 + 1)
+        count_key = keys[-1]
+        # per-class active point count in [n0, n1]
+        counts = jax.random.randint(
+            count_key, (num_class,), num_points_prompt[0], num_points_prompt[1] + 1
+        )
+
+        pts = []
+        pts_r = []
+        labels = []
+        fit_boxes = []
+        loose_boxes = []
+        class0_first = None
+        for cls in range(num_class):
+            k_center, k_rand, k_fit, k_loose = keys[cls * 4 : cls * 4 + 4]
+            mask_cls = (pred_i == cls).astype(jnp.int32)
+            has_any = jnp.sum(mask_cls) > 0
+            _, _, largest = component_sizes_and_largest(mask_cls)
+            largest = largest.astype(jnp.int32)
+
+            dist = _distance_to_zero(largest)
+            centers = _random_index_2d(k_center, dist, max_pts)  # (P, 2)
+            randoms = _random_in_mask(k_rand, largest, max_pts)
+
+            # inactive slots (beyond the sampled count) repeat the first point
+            slot = jnp.arange(max_pts)
+            active = slot < counts[cls]
+            centers = jnp.where(active[:, None], centers, centers[0][None])
+            randoms = jnp.where(active[:, None], randoms, randoms[0][None])
+
+            if cls == 0:
+                class0_first = centers[0]
+            # empty-class fallback: reuse class-0's first center (":602-611")
+            centers = jnp.where(has_any, centers, class0_first[None])
+            randoms = jnp.where(has_any, randoms, class0_first[None])
+            label_val = jnp.where(has_any & (cls > 0), cls, 0)
+            labels.append(jnp.full((max_pts,), 1, jnp.int32) * label_val)
+
+            pts.append(centers)
+            pts_r.append(randoms)
+
+            if cls > 0:
+                fit = _jittered_bbox(k_fit, largest, bbox_change_rate[0])
+                loose = _jittered_bbox(k_loose, largest, bbox_change_rate[1])
+                # empty class → degenerate box at class-0 point
+                fallback = jnp.stack([class0_first, class0_first])
+                fit_boxes.append(jnp.where(has_any, fit, fallback))
+                loose_boxes.append(jnp.where(has_any, loose, fallback))
+
+        points = jnp.concatenate(pts, axis=0)  # (total, 2)
+        points_r = jnp.concatenate(pts_r, axis=0)
+        labels = jnp.concatenate(labels, axis=0)
+        fit = jnp.stack(fit_boxes)  # (C-1, 2, 2)
+        loose = jnp.stack(loose_boxes)
+        return points, points_r, labels, fit, loose
+
+    keys = jax.random.split(rng, b)
+    points, points_r, labels, fit, loose = jax.vmap(one_image)(keys, pred)
+
+    box_labels = jnp.zeros((b, num_class - 1), jnp.int32)  # reference bug parity
+    mask_prompt = resize(
+        pred[..., None].astype(jnp.float32), tuple(mask_input_size), "nearest"
+    )
+
+    points_prompt = (points, labels)
+    points_prompt_random = (points_r, labels)
+    fit_boxes_prompt = (fit, box_labels)
+    loose_boxes_prompt = (loose, box_labels)
+    if israndom:
+        return (
+            points_prompt,
+            points_prompt_random,
+            fit_boxes_prompt,
+            loose_boxes_prompt,
+            mask_prompt,
+        )
+    return points_prompt, fit_boxes_prompt, mask_prompt

@@ -1,0 +1,113 @@
+"""CPC-SAM trainer smoke test on synthetic ACDC with a tiny dual-mask SAM,
+plus contrastive/VAT/memory unit checks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mia_tpu.losses import prototype_contrastive_loss, vat_loss
+from mia_tpu.memories import init_feature_memory, update_feature_memory
+
+from synth_data import make_acdc
+
+
+def test_feature_memory_update(rng):
+    mem = init_feature_memory(num_classes=2, feat_dim=4, elements_per_class=3)
+    feats = jnp.asarray(rng.random((10, 4)), jnp.float32)
+    labels = jnp.asarray([1, 1, 1, 1, 2, 2, -1, -1, -1, -1])
+    scores = jnp.asarray(rng.random((3, 10)), jnp.float32)
+    mem2 = update_feature_memory(mem, feats, labels, scores)
+    assert int(mem2.valid[1].sum()) == 3  # 4 candidates, keep 3 lowest-score
+    assert int(mem2.valid[2].sum()) == 2
+    assert int(mem2.valid[0].sum()) == 0  # class 0 had no rows → unchanged
+    # lowest-scored selection for class 1
+    cls1_scores = np.asarray(scores[1][:4])
+    kept = set(np.argsort(cls1_scores)[:3])
+    for row in np.asarray(mem2.bank[1]):
+        matches = [i for i in range(4) if np.allclose(row, np.asarray(feats[i]))]
+        assert matches and matches[0] in kept
+
+
+def test_contrastive_loss_finite(rng):
+    mem = init_feature_memory(num_classes=2, feat_dim=4, elements_per_class=3)
+    feats = jnp.asarray(rng.random((10, 4)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 3, 10))
+    scores = jnp.asarray(rng.random((3, 10)), jnp.float32)
+    mem = update_feature_memory(mem, feats, labels, scores)
+    loss = prototype_contrastive_loss(
+        feats,
+        labels,
+        jnp.ones(10, bool),
+        mem,
+        scores,
+        jnp.asarray(rng.random((3, 3)), jnp.float32),
+        num_classes=2,
+    )
+    assert np.isfinite(float(loss))
+    assert float(loss) >= 0.0
+
+
+def test_vat_loss(rng):
+    w = jnp.asarray(rng.random((3, 4)), jnp.float32)
+
+    def forward(x):
+        return [x @ w]  # (B, 8, 8, 3) -> fake logits over last dim
+
+    x = jnp.asarray(rng.random((2, 8, 8, 3)), jnp.float32)
+    loss = vat_loss(jax.random.PRNGKey(0), forward, x, xi=1.0, epi=0.5, ip=1)
+    assert np.isfinite(float(loss))
+
+
+@pytest.mark.slow
+def test_cpcsam_trainer_end_to_end(tmp_path):
+    from mia_tpu.training.cpcsam_trainer import CPCSAMTrainer, patients_to_slices
+
+    assert patients_to_slices("ACDC", 7) == 136
+
+    make_acdc(tmp_path / "data", n_slices=8, n_vols=1, size=(32, 32), depth=2)
+
+    config = dict(
+        seed=3,
+        num_classes=3,
+        image_size=32,
+        batch_size=4,
+        labeled_batch_ratio=0.5,
+        labeled_num=1,
+        data_path=str(tmp_path / "data"),
+        min_iter=2,
+        max_iter=2,
+        warmup_iter=1,  # phase 2 kicks in on iter 1
+        valid_freq_iter=10,
+        lr_warmup_iter=1,
+        num_epochs=2,
+        lora_rank=2,
+        promptmode=["point", "box"],
+        use_contrastive_loss=True,
+        contrastive_weight=0.1,
+        loss3_weight_rampup_iter=2,
+    )
+    trainer = CPCSAMTrainer(work_path=tmp_path / "work", config=config, verbose=False)
+    # shrink the ViT for test speed
+    import mia_tpu.models.sam.build_sam as bs
+
+    orig = bs._VIT_SPECS["vit_b"]
+    bs._VIT_SPECS["vit_b"] = dict(embed_dim=32, depth=2, num_heads=2, global_idx=(1,))
+    try:
+        # labeled table needs a tiny override too
+        from mia_tpu.training import cpcsam_trainer as ct
+
+        ct.PATIENTS_TO_SLICES["ACDC"]["1"] = 4
+        trainer.initialize()
+        trainer.run_training()
+    finally:
+        bs._VIT_SPECS["vit_b"] = orig
+        ct.PATIENTS_TO_SLICES["ACDC"]["1"] = 32
+
+    work = trainer.work_path
+    assert (work / "final_model/lora.msgpack").is_file()
+    assert (work / "config.json").is_file()
+    assert (work / "test_mean.csv").is_file()
+    # LoRA checkpoint round-trips
+    trainer.load_state_dict(work / "final_model")

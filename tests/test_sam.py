@@ -1,0 +1,148 @@
+"""SAM stack tests: shapes, dual-mask forward with device prompt
+generation, LoRA masking, window partition parity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mia_tpu.models.sam import (
+    Sam,
+    SamDualmask,
+    lora_state_dict,
+    lora_trainable_mask,
+    prompt_generate_random_fast,
+    window_partition,
+    window_unpartition,
+)
+
+
+TINY = dict(
+    img_size=64,
+    num_classes=3,
+    encoder_embed_dim=32,
+    encoder_depth=2,
+    encoder_num_heads=2,
+    encoder_global_attn_indexes=(1,),
+)
+
+
+def test_window_partition_roundtrip(rng):
+    x = jnp.asarray(rng.random((2, 10, 12, 4), np.float32))
+    wins, pad_hw = window_partition(x, 7)
+    assert wins.shape == (2 * 2 * 2, 7, 7, 4)
+    back = window_unpartition(wins, 7, pad_hw, (10, 12))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=0)
+
+
+def test_plain_sam_forward(rng):
+    model = Sam(**TINY)
+    x = jnp.asarray(rng.random((1, 64, 64, 3), np.float32) * 255)
+    variables = model.init(jax.random.PRNGKey(0), x, True, 64)
+    out = model.apply(variables, x, True, 64)
+    # multimask_output=True drops token 0 (upstream SAM slice semantics)
+    assert out["low_res_logits"].shape == (1, 16, 16, 3)
+    assert out["masks"].shape == (1, 64, 64, 3)
+    assert out["iou_predictions"].shape == (1, 3)
+
+
+@pytest.fixture(scope="module")
+def dual_setup():
+    model = SamDualmask(num_decoders=3, **TINY)
+    x = jnp.ones((2, 64, 64, 3), jnp.float32) * 100
+    # init with prompt_idx=0 + "all" so every param path traces (flax only
+    # creates params on code paths the init actually exercises)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "prompt": jax.random.PRNGKey(1)},
+        x, True, 64, 0, ["all"],
+    )
+    return model, variables, x
+
+
+def test_dualmask_unprompted(dual_setup):
+    model, variables, x = dual_setup
+    out = model.apply(
+        variables, x, True, 64, -1, None,
+        rngs={"prompt": jax.random.PRNGKey(2)},
+    )
+    assert len(out["low_res_logits"]) == 3
+    # 4-stage upscaler: 16x from the embed grid (img/16) -> full image res
+    for lrl in out["low_res_logits"]:
+        assert lrl.shape == (2, 64, 64, 4)
+    assert all(r is None for r in out["low_res_logits_r"])
+    # dense features: same grid, C' = transformer_dim // 16
+    assert out["dense_features"][0].shape == (2, 64, 64, 16)
+
+
+@pytest.mark.parametrize("mode", ["point", "box", "point-box", "mask", "all"])
+def test_dualmask_prompted(dual_setup, mode):
+    model, variables, x = dual_setup
+    out = model.apply(
+        variables, x, True, 64, 0, [mode],
+        rngs={"prompt": jax.random.PRNGKey(3)},
+    )
+    # prompted decoder ran twice: center/fit and random/loose
+    assert out["low_res_logits"][0].shape == (2, 64, 64, 4)
+    assert out["low_res_logits_r"][0].shape == (2, 64, 64, 4)
+    assert np.isfinite(np.asarray(out["low_res_logits"][0])).all()
+
+
+def test_prompt_generation_shapes(rng):
+    probs = jax.nn.softmax(jnp.asarray(rng.standard_normal((2, 16, 16, 4)), jnp.float32))
+    pts, pts_r, fit, loose, mask_prompt = prompt_generate_random_fast(
+        jax.random.PRNGKey(0), probs, 64, (16, 16), (1, 2), (0.1, 0.2)
+    )
+    coords, labels = pts
+    assert coords.shape == (2, 8, 2)  # 4 classes x max 2 points
+    assert labels.shape == (2, 8)
+    assert fit[0].shape == (2, 3, 2, 2)
+    assert mask_prompt.shape == (2, 16, 16, 1)
+    # coordinates within the image
+    assert (np.asarray(coords) >= 0).all() and (np.asarray(coords) < 64).all()
+    # labels valid class ids
+    assert set(np.unique(np.asarray(labels))) <= {0, 1, 2, 3}
+
+
+def test_prompt_points_land_on_class(rng):
+    # deterministic mask: class 1 square in a known place
+    probs = np.zeros((1, 16, 16, 4), np.float32)
+    probs[..., 0] = 1.0
+    probs[0, 4:10, 4:10, :] = 0.0
+    probs[0, 4:10, 4:10, 1] = 1.0
+    pts, _, fit, _, _ = prompt_generate_random_fast(
+        jax.random.PRNGKey(0), jnp.asarray(probs), 16, (16, 16), (1, 1), (0.0, 0.0)
+    )
+    coords, labels = pts
+    coords = np.asarray(coords[0])
+    labels = np.asarray(labels[0])
+    # class-1 point slot must land inside the class-1 square
+    cls1 = coords[labels == 1]
+    assert len(cls1) >= 1
+    for x, y in cls1:
+        assert 4 <= y < 10 and 4 <= x < 10
+    # fit box with no jitter equals the square bbox
+    box = np.asarray(fit[0][0, 0])
+    np.testing.assert_array_equal(box, [[4, 4], [9, 9]])
+
+
+def test_lora_mask_and_state_dict():
+    model = SamDualmask(num_decoders=2, lora_rank=2, **{**TINY, "encoder_depth": 1})
+    x = jnp.ones((1, 64, 64, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "prompt": jax.random.PRNGKey(1)},
+        x, True, 64, -1, None,
+    )
+    params = variables["params"]
+    mask = lora_trainable_mask(params)
+    from flax import traverse_util
+
+    flat_mask = traverse_util.flatten_dict(mask)
+    enc_frozen = [p for p, m in flat_mask.items() if p[0] == "image_encoder" and not m]
+    enc_lora = [p for p, m in flat_mask.items() if p[0] == "image_encoder" and m]
+    assert enc_frozen and enc_lora
+    assert all("lora" in "/".join(p) for p in enc_lora)
+    # lora state dict excludes frozen encoder weights but keeps decoders
+    sd = traverse_util.flatten_dict(lora_state_dict(params))
+    assert any(p[0] == "mask_decoder0" for p in sd)
+    assert all(("lora" in "/".join(p)) for p in sd if p[0] == "image_encoder")
