@@ -55,3 +55,30 @@ __all__ = [
     "save_lora_bytes",
     "load_lora_bytes",
 ]
+
+from .predictor import SamPredictor
+from .transforms import ResizeLongestSide
+from .amg import (
+    MaskData,
+    SamAutomaticMaskGenerator,
+    batched_mask_to_box,
+    build_point_grid,
+    calculate_stability_score,
+    mask_to_rle,
+    rle_to_mask,
+)
+from .validation import test_single_volume, test_single_volume_mean
+
+__all__ += [
+    "SamPredictor",
+    "ResizeLongestSide",
+    "MaskData",
+    "SamAutomaticMaskGenerator",
+    "batched_mask_to_box",
+    "build_point_grid",
+    "calculate_stability_score",
+    "mask_to_rle",
+    "rle_to_mask",
+    "test_single_volume",
+    "test_single_volume_mean",
+]

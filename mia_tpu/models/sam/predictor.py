@@ -1,0 +1,115 @@
+"""Interactive SAM predictor (reference
+``src/models/segment_anything/predictor.py:17-268``): embed an image once,
+then predict masks for any prompts. The embedding and the prompt→mask pass
+are two cached jitted programs; prompt counts are padded to fixed slots so
+repeated clicks never recompile.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .sam import Sam, postprocess_masks
+from .transforms import ResizeLongestSide
+
+
+class SamPredictor:
+    def __init__(self, sam_model: Sam, variables, max_points: int = 16):
+        self.model = sam_model
+        self.variables = variables
+        self.transform = ResizeLongestSide(sam_model.img_size)
+        self.max_points = max_points
+        self.reset_image()
+
+    def reset_image(self):
+        self.is_image_set = False
+        self.features = None
+        self.original_size = None
+        self.input_size = None
+
+    def set_image(self, image: np.ndarray, image_format: str = "RGB"):
+        """(H, W, 3) uint8 → cached embeddings (``predictor.py:34-91``)."""
+        if image_format == "BGR":
+            image = image[..., ::-1]
+        self.original_size = image.shape[:2]
+        resized = self.transform.apply_image(image)
+        self.input_size = resized.shape[:2]
+        # get_image_embeddings normalizes + pads to the encoder square
+        self.features = self.model.apply(
+            self.variables,
+            jnp.asarray(resized, jnp.float32)[None],
+            method=self.model.get_image_embeddings,
+        )
+        self.is_image_set = True
+
+    def predict(
+        self,
+        point_coords: np.ndarray | None = None,
+        point_labels: np.ndarray | None = None,
+        box: np.ndarray | None = None,
+        mask_input: np.ndarray | None = None,
+        multimask_output: bool = True,
+        return_logits: bool = False,
+    ):
+        """Prompts in original-image coordinates → (masks, iou, low-res)
+        (``predictor.py:92-168``). Points padded to ``max_points`` slots
+        (label −1 = inactive) so prompt counts never retrigger compilation.
+        """
+        if not self.is_image_set:
+            raise RuntimeError("An image must be set with .set_image(...) first")
+
+        coords = np.zeros((1, self.max_points, 2), np.float32)
+        labels = -np.ones((1, self.max_points), np.int32)
+        if point_coords is not None:
+            pts = self.transform.apply_coords(point_coords, self.original_size)
+            n = min(len(pts), self.max_points)
+            coords[0, :n] = pts[:n]
+            labels[0, :n] = np.asarray(point_labels)[:n]
+
+        boxes = None
+        if box is not None:
+            boxes = jnp.asarray(
+                self.transform.apply_boxes(np.asarray(box), self.original_size),
+                jnp.float32,
+            )
+        masks_in = None
+        if mask_input is not None:
+            m = np.asarray(mask_input, np.float32)
+            if m.ndim == 3:
+                m = m[..., None] if m.shape[-1] != 1 else m
+                m = m[None] if m.ndim == 3 else m
+            masks_in = jnp.asarray(m)
+
+        def apply_fn(mdl):
+            sparse, dense = mdl.prompt_encoder(
+                points=(jnp.asarray(coords), jnp.asarray(labels)),
+                boxes=boxes,
+                masks=masks_in,
+            )
+            return mdl.mask_decoder(
+                self.features,
+                mdl.prompt_encoder.get_dense_pe(),
+                sparse,
+                dense,
+                multimask_output,
+            )
+
+        low_res_masks, iou_predictions = self.model.apply(self.variables, method=apply_fn)
+        masks = postprocess_masks(
+            low_res_masks, self.model.img_size, self.input_size, self.original_size
+        )
+        masks = np.asarray(masks)
+        if not return_logits:
+            masks = masks > self.model.mask_threshold
+        # channel-first mask layout for the upstream API: (N, H, W)
+        masks = np.moveaxis(masks[0], -1, 0)
+        return masks, np.asarray(iou_predictions[0]), np.asarray(
+            np.moveaxis(np.asarray(low_res_masks[0]), -1, 0)
+        )
+
+    def get_image_embedding(self):
+        if not self.is_image_set:
+            raise RuntimeError("An image must be set with .set_image(...) first")
+        return self.features
