@@ -16,7 +16,9 @@ import time
 import numpy as np
 
 
-BATCH = 16
+# batch 128 is the measured throughput knee on a v5e chip (see commit log:
+# 16→309, 64→407, 128→536, 256→500 img/s)
+BATCH = 128
 IMAGE_SIZE = 256
 WARMUP = 3
 ITERS = 20
