@@ -52,11 +52,15 @@ class ModelScorer:
     the model apply fn + shapes, so rounds reuse them.
     """
 
-    def __init__(self, model, state):
+    def __init__(self, model, state, mesh=None):
         # ``state`` is anything exposing .params and .batch_stats
-        # (mia_tpu.training.TrainState or a lightweight stand-in)
+        # (mia_tpu.training.TrainState or a lightweight stand-in).
+        # With ``mesh``, every sweep shards its batch over the mesh's
+        # ``data`` axis with replicated params — the AL round's "one device
+        # program per pool sweep" over all chips (SURVEY §5).
         self.model = model
         self.state = state
+        self.mesh = mesh
 
         def variables(params, batch_stats):
             v = {"params": params}
@@ -101,10 +105,31 @@ class ModelScorer:
 
             return jax.vmap(one_image)(images)
 
-        self._probs = jax.jit(probs_fn)
-        self._enc = jax.jit(enc_fn)
-        self._uncertainty = jax.jit(uncertainty_fn, static_argnums=3)
-        self._badge = jax.jit(badge_fn)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            self._probs = jax.jit(
+                probs_fn, in_shardings=(repl, repl, data), out_shardings=data
+            )
+            self._enc = jax.jit(
+                enc_fn, in_shardings=(repl, repl, data), out_shardings=data
+            )
+            self._uncertainty = jax.jit(
+                uncertainty_fn,
+                static_argnums=3,
+                in_shardings=(repl, repl, data),
+                out_shardings=data,
+            )
+            self._badge = jax.jit(
+                badge_fn, in_shardings=(repl, repl, data), out_shardings=data
+            )
+        else:
+            self._probs = jax.jit(probs_fn)
+            self._enc = jax.jit(enc_fn)
+            self._uncertainty = jax.jit(uncertainty_fn, static_argnums=3)
+            self._badge = jax.jit(badge_fn)
 
     def probs(self, images) -> jnp.ndarray:
         return self._probs(self.state.params, self.state.batch_stats, images)

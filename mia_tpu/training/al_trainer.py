@@ -50,6 +50,7 @@ from ..transforms import batch_apply, get_train_transform
 from ..transforms.normalization import zscore_normalize
 from ..utils.common import draw_mask, get_path
 from ..utils.logging import add_file_sink, remove_sink, setup_logger
+from ..utils.profiling import trace_span
 from .al_config import ALConfig
 from .base_trainer import BaseTrainer
 from .state import TrainState, create_train_state, make_optimizer
@@ -606,13 +607,14 @@ class ALTrainer(BaseTrainer):
             if self.current_round == 0 and self.config.init_data_list:
                 self.active_dataset.load_data_list(self.config.init_data_list)
             else:
-                scorer = ModelScorer(self.model, self.state)
-                new_samples = self.active_selector.select_next_batch(
-                    self.active_dataset,
-                    self.config.budget,
-                    scorer,
-                    seed=self.seed + self.current_round,
-                )
+                scorer = ModelScorer(self.model, self.state, mesh=self.mesh)
+                with trace_span("al/select"):
+                    new_samples = self.active_selector.select_next_batch(
+                        self.active_dataset,
+                        self.config.budget,
+                        scorer,
+                        seed=self.seed + self.current_round,
+                    )
                 self.active_dataset.extend_train_set(new_samples)
         else:
             self.active_dataset.extend_train_set(
@@ -716,7 +718,8 @@ class ALTrainer(BaseTrainer):
         images = jnp.asarray(sampled_batch["image"], jnp.float32)
         labels = jnp.asarray(sampled_batch["label"], jnp.int32)
 
-        self.state, metrics = self._train_step(self.state, images, labels, self.root_key)
+        with trace_span("train/step"):
+            self.state, metrics = self._train_step(self.state, images, labels, self.root_key)
         loss = float(metrics["loss"])
         lr = float(metrics.get("lr", self.config.start_lr))
         self.logger.info(f"lr: {lr}")
@@ -824,7 +827,8 @@ class ALTrainer(BaseTrainer):
         return metric_all, per_cls, float(loss)
 
     def valid_step(self, sampled_batch):
-        metric_all, metric, loss = self._eval_batch(sampled_batch)
+        with trace_span("valid/step"):
+            metric_all, metric, loss = self._eval_batch(sampled_batch)
         self.epoch_valid_outputs.append(
             {"metric_all": metric_all, "metric": metric, "loss": loss}
         )
