@@ -6,8 +6,9 @@ Multi-chip sharding tests run against a virtual mesh per SURVEY.md §4
 
 import os
 
-# Force (don't setdefault): the session env presets JAX_PLATFORMS to the
-# TPU tunnel, which would give a 1-device mesh and break sharding tests.
+# Force CPU: the session env presets the axon TPU-tunnel plugin, which
+# IGNORES the JAX_PLATFORMS env var — only the config update below works.
+# Without it, "CPU" tests silently run through the 1-chip TPU tunnel.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -17,7 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -61,11 +61,13 @@ def test_train_step_sharded_matches_single():
     np.testing.assert_allclose(
         float(metrics_s["loss"]), float(metrics_m["loss"]), rtol=1e-4
     )
-    # params identical after one step (grad all-reduce == full-batch grad)
+    # params identical after one step (grad all-reduce == full-batch grad).
+    # atol bounds Adam's normalized update on near-zero grads, where f32
+    # reduction order flips the sign of a ~1e-9 gradient.
     flat_s = jax.tree_util.tree_leaves(state_s.params)
     flat_m = jax.tree_util.tree_leaves(state_m.params)
     for a, b in zip(flat_s, flat_m):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-5)
 
 
 def test_eval_step_sharded():
