@@ -62,12 +62,14 @@ def test_train_step_sharded_matches_single():
         float(metrics_s["loss"]), float(metrics_m["loss"]), rtol=1e-4
     )
     # params identical after one step (grad all-reduce == full-batch grad).
-    # atol bounds Adam's normalized update on near-zero grads, where f32
-    # reduction order flips the sign of a ~1e-9 gradient.
+    # Adam normalizes the update to ~lr (2e-4 at step 0); on near-zero
+    # gradients, f32 reduction order can flip the update's SIGN, so two
+    # correct runs may differ by up to 2*lr on those elements. atol covers
+    # that; rtol covers everything else.
     flat_s = jax.tree_util.tree_leaves(state_s.params)
     flat_m = jax.tree_util.tree_leaves(state_m.params)
     for a, b in zip(flat_s, flat_m):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=4.5e-4)
 
 
 def test_eval_step_sharded():
