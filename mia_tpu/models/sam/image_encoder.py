@@ -92,7 +92,12 @@ def add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_size, k_size):
 class Attention(nn.Module):
     """Multi-head attention with optional decomposed rel-pos and optional
     LoRA adapters on q and v (``image_encoder.py:185-240`` +
-    ``sam_lora_image_encoder.py:11-42``)."""
+    ``sam_lora_image_encoder.py:11-42``).
+
+    On TPU the scores→softmax→@v pass runs as a fused Pallas kernel
+    (``mia_tpu.ops.attention``) per (batch·head, q-block) instead of
+    materializing the score tensor in HBM; elsewhere (and with
+    ``fused="never"``) the plain einsum path runs."""
 
     dim: int
     num_heads: int = 8
@@ -101,6 +106,7 @@ class Attention(nn.Module):
     input_size: Tuple[int, int] | None = None
     lora_rank: int = 0
     dtype: jnp.dtype = jnp.float32
+    fused: str = "auto"  # "auto" | "always" | "never"
 
     @nn.compact
     def __call__(self, x):
@@ -128,9 +134,6 @@ class Attention(nn.Module):
         k = qkv[:, :, 1].transpose(0, 2, 1, 3)
         v = qkv[:, :, 2].transpose(0, 2, 1, 3)
 
-        attn = jnp.einsum(
-            "bnqc,bnkc->bnqk", q * scale, k, preferred_element_type=jnp.float32
-        )
         if self.use_rel_pos:
             size = self.input_size
             rel_pos_h = self.param(
@@ -139,10 +142,42 @@ class Attention(nn.Module):
             rel_pos_w = self.param(
                 "rel_pos_w", nn.initializers.zeros, (2 * size[1] - 1, head_dim)
             )
-            attn = add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, (h, w), (h, w))
 
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
-        out = jnp.einsum("bnqk,bnkc->bnqc", attn, v, preferred_element_type=jnp.float32)
+        use_fused = self.fused == "always" or (
+            self.fused == "auto" and jax.default_backend() == "tpu"
+        )
+        n = h * w
+        if use_fused:
+            from ...ops.attention import attention_with_padding
+
+            if self.use_rel_pos:
+                bias = add_decomposed_rel_pos(
+                    jnp.zeros((b, self.num_heads, n, n), jnp.float32),
+                    q, rel_pos_h, rel_pos_w, (h, w), (h, w),
+                )
+            else:
+                bias = jnp.zeros((b, self.num_heads, n, n), jnp.float32)
+            out = attention_with_padding(
+                q.reshape(b * self.num_heads, n, head_dim),
+                k.reshape(b * self.num_heads, n, head_dim),
+                v.reshape(b * self.num_heads, n, head_dim),
+                bias.reshape(b * self.num_heads, n, n),
+                scale,
+            )
+            out = out.reshape(b, self.num_heads, n, head_dim)
+        else:
+            attn = jnp.einsum(
+                "bnqc,bnkc->bnqk", q * scale, k, preferred_element_type=jnp.float32
+            )
+            if self.use_rel_pos:
+                attn = add_decomposed_rel_pos(
+                    attn, q, rel_pos_h, rel_pos_w, (h, w), (h, w)
+                )
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+            out = jnp.einsum(
+                "bnqk,bnkc->bnqc", attn, v, preferred_element_type=jnp.float32
+            )
+
         out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
@@ -159,6 +194,7 @@ class Block(nn.Module):
     input_size: Tuple[int, int] | None = None
     lora_rank: int = 0
     dtype: jnp.dtype = jnp.float32
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -179,6 +215,7 @@ class Block(nn.Module):
             ),
             lora_rank=self.lora_rank,
             dtype=self.dtype,
+            fused=self.fused,
             name="attn",
         )(x)
         if self.window_size > 0:
@@ -205,6 +242,7 @@ class ImageEncoderViT(nn.Module):
     global_attn_indexes: Tuple[int, ...] = ()
     lora_rank: int = 0
     dtype: jnp.dtype = jnp.float32
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, x):
@@ -235,6 +273,7 @@ class ImageEncoderViT(nn.Module):
                 input_size=(self.img_size // self.patch_size,) * 2,
                 lora_rank=self.lora_rank,
                 dtype=self.dtype,
+                fused=self.fused,
                 name=f"block{i}",
             )(x)
 
