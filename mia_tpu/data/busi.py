@@ -73,6 +73,13 @@ class BUSIDataset(BaseDataset):
         key = {"train": "train", "valid": "valid", "test": "test"}[self.split]
         self.samples_list = [f"{sid:04}" for sid in split_dict[key]]
 
+    def sample_paths(self, index: int):
+        case = self.samples_list[index]
+        return (
+            self.data_path / f"{self.IMAGES_DIR}/{case}.png",
+            self.data_path / f"{self.LABELS_DIR}/{case}.png",
+        )
+
     def get_sample(self, index: int, normalize: bool = True) -> dict:
         case = self.samples_list[index]
         image = load_image_grayscale(

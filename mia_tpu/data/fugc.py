@@ -78,6 +78,12 @@ class FUGCDataset(BaseDataset):
         images_path = self.data_path / self._split_dir() / self.IMAGES_DIR
         self.samples_list = sorted(p.stem for p in images_path.glob("*.png"))
 
+    def sample_paths(self, index: int):
+        """(image_path, label_path) for the native batch loader."""
+        case = self.samples_list[index]
+        base = self.data_path / self._split_dir()
+        return base / self.IMAGES_DIR / f"{case}.png", base / self.LABELS_DIR / f"{case}.png"
+
     def get_sample(self, index: int, normalize: bool = True) -> dict:
         case = self.samples_list[index]
         base = self.data_path / self._split_dir()

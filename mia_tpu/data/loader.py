@@ -94,8 +94,51 @@ class BatchLoader:
             n = int(np.ceil(self.batch_size / n)) * n
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _native_batch(self, indices: list[int]) -> dict | None:
+        """Threaded C++ decode+resize fast path (``mia_tpu.native``).
+
+        Used when the (possibly view-wrapped) dataset exposes per-sample
+        file paths, has a fixed image size, and no host transform/normalize
+        (our trainers normalize/augment on device). Falls back to None."""
+        ds = self.dataset
+        base = getattr(ds, "dataset", ds)  # unwrap ExtendableDataset views
+        if (
+            getattr(base, "transform", None) is not None
+            or getattr(base, "normalize", None) is not None
+            or getattr(base, "image_size", None) is None
+            or not hasattr(base, "sample_paths")
+        ):
+            return None
+        try:
+            from .. import native
+
+            if not native.is_available():
+                return None
+            if base is ds:
+                base_indices = [int(i) for i in indices]
+            else:
+                base_indices = [
+                    ds.case_name_to_idx[ds.image_idx[int(i)]] for i in indices
+                ]
+            paths = [base.sample_paths(i) for i in base_indices]
+            size = base.image_size
+            if isinstance(size, int):
+                size = (size, size)
+            images, labels = native.load_image_batch(
+                [p[0] for p in paths],
+                [p[1] for p in paths],
+                image_size=tuple(size),
+                channels=getattr(base, "image_channels", 3),
+            )
+            case_names = [base.samples_list[i] for i in base_indices]
+            return {"image": images, "label": labels, "case_name": case_names}
+        except Exception:
+            return None
+
     def _load_batch(self, indices: list[int]) -> dict:
-        batch = collate([self.dataset.get_sample(int(i)) for i in indices])
+        batch = self._native_batch(indices)
+        if batch is None:
+            batch = collate([self.dataset.get_sample(int(i)) for i in indices])
         if self.device_put:
             for key in ("image", "label"):
                 if key in batch:
