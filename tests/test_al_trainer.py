@@ -128,3 +128,37 @@ def test_checkpoint_roundtrip(fugc_root, tmp_path):
     loaded = np.asarray(trainer.state.params["decoder"]["seg_output"]["kernel"])
     np.testing.assert_array_equal(after, loaded)
     assert not np.array_equal(before, after)
+
+
+def test_acdc_volume_mode(tmp_path):
+    """Volume-mode validation: (1, D, H, W, C) volumes through the bucketed
+    on-device metrics program, with rolled CSV spacing."""
+    from synth_data import make_acdc
+
+    make_acdc(tmp_path / "data", n_slices=6, n_vols=2, size=(32, 32), depth=3)
+    config = _config(
+        tmp_path / "data",
+        dataset="ACDC",
+        in_channels=3,
+        num_classes=3,
+        valid_mode="volumn",
+        num_rounds=1,
+        num_iters=2,
+        valid_freq_iter=1,
+        budget=2,
+    )
+    trainer = ALTrainer(work_path=tmp_path / "work", config=config, verbose=False)
+    import dataclasses
+
+    orig = trainer._unet_config
+
+    def small_cfg():
+        return dataclasses.replace(orig(), channels_list=(4, 8))
+
+    trainer._unet_config = small_cfg
+    trainer.initialize()
+    trainer.run_training()
+    assert (trainer.work_path / "test_mean_round_0.csv").is_file()
+    # per-class columns for RV/Myo/LV
+    header = (trainer.work_path / "test_mean_round_0.csv").read_text().splitlines()[0]
+    assert "RV-DSC" in header and "LV-HD" in header
