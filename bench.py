@@ -16,8 +16,8 @@ import time
 import numpy as np
 
 
-# batch 128 is the measured throughput knee on a v5e chip (see commit log:
-# 16→309, 64→407, 128→536, 256→500 img/s)
+# batch 128 is the measured throughput knee on a v5e chip (post gather-free
+# CE: 1098 img/s at batch 128; pre-fix curve was 16→309, 64→407, 128→536)
 BATCH = 128
 IMAGE_SIZE = 256
 WARMUP = 3

@@ -25,19 +25,29 @@ def cross_entropy(
     label_smoothing: float = 0.0,
     reduction: str = "mean",
 ) -> jnp.ndarray:
-    """torch ``F.cross_entropy`` over the last axis of ``logits``."""
+    """torch ``F.cross_entropy`` over the last axis of ``logits``.
+
+    TPU note: deliberately gather-free. A minor-dim ``take_along_axis``
+    over (B, H, W, C) logits is unvectorizable on TPU and measured 65%
+    slower per UNet train step; the one-hot compare + sum below computes
+    the identical value on the VPU.
+    """
     num_classes = logits.shape[-1]
     targets = targets.astype(jnp.int32)
     safe_targets = jnp.clip(targets, 0, num_classes - 1)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
+    lf = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(lf, axis=-1)
+    onehot = (safe_targets[..., None] == jnp.arange(num_classes)).astype(jnp.float32)
+    picked = jnp.sum(lf * onehot, axis=-1)
+    nll = lse - picked
     if label_smoothing > 0.0:
-        smooth = -jnp.mean(logp, axis=-1)
+        # -mean(logp) = lse - mean(logits)
+        smooth = lse - jnp.mean(lf, axis=-1)
         nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
 
     pix_w = jnp.ones_like(nll)
     if weight is not None:
-        pix_w = jnp.asarray(weight, jnp.float32)[safe_targets]
+        pix_w = onehot @ jnp.asarray(weight, jnp.float32)
     if ignore_index is not None:
         valid = (targets != ignore_index).astype(jnp.float32)
         pix_w = pix_w * valid
