@@ -62,15 +62,57 @@ def bench_train_step():
 
 
 def bench_torch_reference():
-    """Equivalent torch train step (CPU fallback if no CUDA): UNet fwd+bwd+adam."""
-    try:
-        import torch
+    """Reference-equivalent torch train step, images/sec.
 
-        if not torch.cuda.is_available():
-            return None  # CPU torch is not a meaningful baseline for a TPU bench
+    The reference stack is torch-only and this image has no CUDA, so its
+    only runnable form is torch CPU — measured with the same architecture
+    (tests/torch_ref.TorchUNet mirrors the reference UNet), same image
+    size, Dice+CE, adam, grad-clip 10. ``vs_baseline`` is therefore
+    ours-on-TPU / reference-on-host for this machine.
+    """
+    try:
+        import sys
+
+        sys.path.insert(0, "tests")
+        import torch
+        from torch_ref import TorchUNet
     except Exception:
         return None
-    return None
+
+    torch.set_num_threads(max(torch.get_num_threads(), 8))
+    batch, iters, warmup = 8, 5, 2
+    model = TorchUNet(3, 3, [32, 64, 128, 256, 512])
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    rng = np.random.default_rng(0)
+    images = torch.from_numpy(
+        rng.random((batch, 3, IMAGE_SIZE, IMAGE_SIZE), np.float32)
+    )
+    labels = torch.from_numpy(
+        rng.integers(0, 3, (batch, IMAGE_SIZE, IMAGE_SIZE)).astype(np.int64)
+    )
+
+    def dice_ce(logits, y):
+        ce = torch.nn.functional.cross_entropy(logits, y)
+        probs = torch.softmax(logits, 1)
+        onehot = torch.nn.functional.one_hot(y, logits.shape[1]).permute(0, 3, 1, 2).float()
+        inter = (probs * onehot).sum((2, 3))
+        dice = 1 - (2 * inter + 1e-5) / (probs.sum((2, 3)) + onehot.sum((2, 3)) + 1e-5)
+        return 0.5 * ce + 0.5 * dice.mean()
+
+    def step():
+        opt.zero_grad()
+        loss = dice_ce(model(images), labels)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 10.0)
+        opt.step()
+
+    for _ in range(warmup):
+        step()
+    start = time.perf_counter()
+    for _ in range(iters):
+        step()
+    return batch * iters / (time.perf_counter() - start)
 
 
 def main():
