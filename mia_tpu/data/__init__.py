@@ -17,6 +17,7 @@ from .common import ExtendableDataset, ImageDataset
 from .active import ActiveDataset
 from .sampler import TwoStreamBatchSampler
 from .loader import BatchLoader, collate
+from .utils import SplitDictKeyException
 
 DATASETS = {
     "fugc": FUGCDataset,
@@ -48,6 +49,7 @@ __all__ = [
     "ActiveDataset",
     "TwoStreamBatchSampler",
     "BatchLoader",
+    "SplitDictKeyException",
     "collate",
     "DATASETS",
 ]

@@ -1,3 +1,4 @@
+from .hd_module import HD, cal_hd
 from .metrics import (
     dice_coefficient,
     jaccard,
@@ -7,6 +8,8 @@ from .metrics import (
 )
 
 __all__ = [
+    "HD",
+    "cal_hd",
     "dice_coefficient",
     "jaccard",
     "metric_percase",

@@ -106,3 +106,20 @@ def test_per_class_metrics(rng):
         d, h, a, j = metric_percase(jnp.asarray(pred == c), jnp.asarray(gt == c))
         np.testing.assert_allclose(out[i, 0], float(d), rtol=1e-5)
         np.testing.assert_allclose(out[i, 3], float(j), rtol=1e-5)
+
+
+def test_hd_module_fugc_classes(rng):
+    from mia_tpu.metrics import HD, cal_hd
+
+    label = np.zeros((24, 24), np.int64)
+    label[4:10, 4:10] = 1
+    label[14:20, 14:20] = 2
+    logits = np.zeros((1, 24, 24, 3), np.float32)
+    logits[..., 0] = 1.0
+    logits[0, 4:10, 4:10] = [0, 5, 0]
+    logits[0, 14:20, 14:20] = [0, 0, 5]
+    # perfect prediction → all three HDs are 0
+    assert HD()(logits, label[None]) == 0.0
+    # one-empty convention
+    assert np.isinf(cal_hd(np.ones((8, 8)), np.zeros((8, 8))))
+    assert cal_hd(np.zeros((8, 8)), np.zeros((8, 8))) == 0.0
