@@ -111,3 +111,47 @@ def test_cpcsam_trainer_end_to_end(tmp_path):
     assert (work / "test_mean.csv").is_file()
     # LoRA checkpoint round-trips
     trainer.load_state_dict(work / "final_model")
+
+
+def test_vat_phase_program_builds(tmp_path):
+    """use_adv_loss: the VAT power iteration compiles inside the phase-1
+    program (noise on image embeddings, adv_loss_kwargs plumbed)."""
+    from mia_tpu.training.cpcsam_trainer import CPCSAMTrainer
+
+    make_acdc(tmp_path / "data", n_slices=8, n_vols=1, size=(32, 32), depth=2)
+    config = dict(
+        seed=5,
+        num_classes=3,
+        image_size=32,
+        batch_size=4,
+        labeled_num=1,
+        data_path=str(tmp_path / "data"),
+        min_iter=1,
+        max_iter=1,
+        warmup_iter=100,  # stay in phase 1
+        valid_freq_iter=100,
+        lr_warmup_iter=1,
+        num_epochs=1,
+        lora_rank=2,
+        use_adv_loss=True,
+        adv_loss_kwargs={"xi": 1.0, "epi": 0.5, "ip": 1},
+    )
+    import mia_tpu.models.sam.build_sam as bs
+    from mia_tpu.training import cpcsam_trainer as ct
+
+    orig = bs._VIT_SPECS["vit_b"]
+    bs._VIT_SPECS["vit_b"] = dict(embed_dim=32, depth=1, num_heads=2, global_idx=(0,))
+    ct.PATIENTS_TO_SLICES["ACDC"]["1"] = 4
+    try:
+        trainer = CPCSAMTrainer(work_path=tmp_path / "w", config=config, verbose=False)
+        trainer.initialize()
+        trainer.on_train_start()
+        trainer.epoch_train_outputs = []
+        batch = next(iter(trainer._train_loader()))
+        trainer.train_step(batch)
+        losses = trainer.epoch_train_outputs[0]["loss"]
+        assert np.isfinite(losses[0])
+        assert losses[3] != 0.0  # adv term contributed to loss3
+    finally:
+        bs._VIT_SPECS["vit_b"] = orig
+        ct.PATIENTS_TO_SLICES["ACDC"]["1"] = 32
