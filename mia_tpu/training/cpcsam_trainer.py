@@ -221,6 +221,7 @@ class CPCSAMTrainer(BaseTrainer):
         log_override=False,
         use_wandb=False,
         wandb_api_key=None,
+        mesh=None,
         **kwargs,
     ):
         if isinstance(config, CPCSAMConfig):
@@ -240,6 +241,7 @@ class CPCSAMTrainer(BaseTrainer):
         self.log_mode = log_mode
         self.log_override = log_override
         self.use_wandb = False  # gated: wandb optional
+        self.mesh = mesh
         self.root_key = jax.random.PRNGKey(self.config.seed)
         np.random.seed(self.config.seed)
 
@@ -661,6 +663,17 @@ class CPCSAMTrainer(BaseTrainer):
                 }
                 return new_params, new_opt_state, new_memory, metrics
 
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                repl = NamedSharding(self.mesh, P())
+                data = NamedSharding(self.mesh, P("data"))
+                return jax.jit(
+                    step_fn,
+                    in_shardings=(repl, repl, repl, data, data, repl, repl),
+                    out_shardings=(repl, repl, repl, repl),
+                    donate_argnums=(0, 1),
+                )
             return jax.jit(step_fn, donate_argnums=(0, 1))
 
         self._step_phase1 = make_step(False)

@@ -155,3 +155,47 @@ def test_vat_phase_program_builds(tmp_path):
     finally:
         bs._VIT_SPECS["vit_b"] = orig
         ct.PATIENTS_TO_SLICES["ACDC"]["1"] = 32
+
+
+def test_cpcsam_step_sharded(tmp_path):
+    """The CPC-SAM train step compiles and runs data-parallel over the
+    8-virtual-device mesh (params/memory replicated, batch sharded)."""
+    from mia_tpu.parallel import make_mesh
+    from mia_tpu.training.cpcsam_trainer import CPCSAMTrainer
+
+    make_acdc(tmp_path / "data", n_slices=8, n_vols=1, size=(32, 32), depth=2)
+    config = dict(
+        seed=5,
+        num_classes=3,
+        image_size=32,
+        batch_size=8,
+        labeled_num=1,
+        data_path=str(tmp_path / "data"),
+        min_iter=1,
+        max_iter=1,
+        warmup_iter=100,
+        valid_freq_iter=100,
+        lr_warmup_iter=1,
+        num_epochs=1,
+        lora_rank=2,
+    )
+    import mia_tpu.models.sam.build_sam as bs
+    from mia_tpu.training import cpcsam_trainer as ct
+
+    orig = bs._VIT_SPECS["vit_b"]
+    bs._VIT_SPECS["vit_b"] = dict(embed_dim=32, depth=1, num_heads=2, global_idx=(0,))
+    ct.PATIENTS_TO_SLICES["ACDC"]["1"] = 4
+    try:
+        mesh = make_mesh(("data",))
+        trainer = CPCSAMTrainer(
+            work_path=tmp_path / "w", config=config, verbose=False, mesh=mesh
+        )
+        trainer.initialize()
+        trainer.on_train_start()
+        trainer.epoch_train_outputs = []
+        batch = next(iter(trainer._train_loader()))
+        trainer.train_step(batch)
+        assert np.isfinite(trainer.epoch_train_outputs[0]["loss"][0])
+    finally:
+        bs._VIT_SPECS["vit_b"] = orig
+        ct.PATIENTS_TO_SLICES["ACDC"]["1"] = 32
