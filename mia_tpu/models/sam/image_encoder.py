@@ -69,9 +69,10 @@ def resize_rel_pos(rel_pos: jnp.ndarray, max_rel_dist: int) -> jnp.ndarray:
     return rel_pos[lo] * (1 - frac) + rel_pos[hi] * frac
 
 
-def add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_size, k_size):
-    """MViTv2 decomposed rel-pos bias (``:314-351``). ``attn`` is
-    (B, heads, q_h·q_w, k_h·k_w); ``q`` (B, heads, q_h·q_w, C)."""
+def decomposed_rel_terms(q, rel_pos_h, rel_pos_w, q_size, k_size):
+    """The two factored rel-pos terms: (B, heads, q_h·q_w, k_h) and
+    (…, k_w). Their broadcast-sum is the MViTv2 bias — kept factored for
+    the fused kernel so the (N, N) bias never materializes."""
     q_h, q_w = q_size
     k_h, k_w = k_size
     rh = resize_rel_pos(rel_pos_h, 2 * max(q_h, k_h) - 1)[
@@ -84,8 +85,20 @@ def add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_size, k_size):
     r_q = q.reshape(b, heads, q_h, q_w, -1)
     rel_h = jnp.einsum("bnhwc,hkc->bnhwk", r_q, rh.astype(q.dtype))
     rel_w = jnp.einsum("bnhwc,wkc->bnhwk", r_q, rw.astype(q.dtype))
+    n = q_h * q_w
+    return rel_h.reshape(b, heads, n, k_h), rel_w.reshape(b, heads, n, k_w)
+
+
+def add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_size, k_size):
+    """MViTv2 decomposed rel-pos bias (``:314-351``). ``attn`` is
+    (B, heads, q_h·q_w, k_h·k_w); ``q`` (B, heads, q_h·q_w, C)."""
+    q_h, q_w = q_size
+    k_h, k_w = k_size
+    rel_h, rel_w = decomposed_rel_terms(q, rel_pos_h, rel_pos_w, q_size, k_size)
+    b, heads = q.shape[0], q.shape[1]
     attn = attn.reshape(b, heads, q_h, q_w, k_h, k_w)
-    attn = attn + rel_h[..., :, None] + rel_w[..., None, :]
+    attn = attn + rel_h.reshape(b, heads, q_h, q_w, k_h)[..., :, None]
+    attn = attn + rel_w.reshape(b, heads, q_h, q_w, k_w)[..., None, :]
     return attn.reshape(b, heads, q_h * q_w, k_h * k_w)
 
 
@@ -148,22 +161,36 @@ class Attention(nn.Module):
         )
         n = h * w
         if use_fused:
-            from ...ops.attention import attention_with_padding
+            from ...ops.attention import (
+                attention_rel_with_padding,
+                attention_with_padding,
+            )
 
+            bh = b * self.num_heads
             if self.use_rel_pos:
-                bias = add_decomposed_rel_pos(
-                    jnp.zeros((b, self.num_heads, n, n), jnp.float32),
-                    q, rel_pos_h, rel_pos_w, (h, w), (h, w),
+                # factored bias applied in-kernel: the (BH, N, N) bias
+                # tensor never exists in HBM
+                rel_h, rel_w = decomposed_rel_terms(
+                    q, rel_pos_h, rel_pos_w, (h, w), (h, w)
+                )
+                out = attention_rel_with_padding(
+                    q.reshape(bh, n, head_dim),
+                    k.reshape(bh, n, head_dim),
+                    v.reshape(bh, n, head_dim),
+                    rel_h.reshape(bh, n, h),
+                    rel_w.reshape(bh, n, w),
+                    scale,
+                    (h, w),
                 )
             else:
-                bias = jnp.zeros((b, self.num_heads, n, n), jnp.float32)
-            out = attention_with_padding(
-                q.reshape(b * self.num_heads, n, head_dim),
-                k.reshape(b * self.num_heads, n, head_dim),
-                v.reshape(b * self.num_heads, n, head_dim),
-                bias.reshape(b * self.num_heads, n, n),
-                scale,
-            )
+                bias = jnp.zeros((bh, n, n), jnp.float32)
+                out = attention_with_padding(
+                    q.reshape(bh, n, head_dim),
+                    k.reshape(bh, n, head_dim),
+                    v.reshape(bh, n, head_dim),
+                    bias,
+                    scale,
+                )
             out = out.reshape(b, self.num_heads, n, head_dim)
         else:
             attn = jnp.einsum(

@@ -70,3 +70,44 @@ def test_vit_attention_fused_matches_einsum(rng):
     attn_f = Attention(dim=32, num_heads=2, use_rel_pos=True, input_size=(8, 8), fused="always")
     out_f = attn_f.apply(variables, x)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_rel_attention_matches_dense_bias(rng):
+    from mia_tpu.ops.attention import attention_rel_with_padding
+
+    bh, k_h, k_w, d = 3, 10, 12, 16
+    n = k_h * k_w  # 120 -> pads to 128
+    q = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+    rel_h = jnp.asarray(rng.standard_normal((bh, n, k_h)), jnp.float32) * 0.2
+    rel_w = jnp.asarray(rng.standard_normal((bh, n, k_w)), jnp.float32) * 0.2
+
+    out = attention_rel_with_padding(q, k, v, rel_h, rel_w, 0.25, (k_h, k_w))
+    bias = (rel_h[:, :, :, None] + rel_w[:, :, None, :]).reshape(bh, n, n)
+    ref = _reference(q, k, v, bias, 0.25)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_rel_attention_gradients(rng):
+    from mia_tpu.ops.attention import fused_attention_rel
+
+    bh, k_h, k_w, d = 2, 8, 16, 8
+    n = k_h * k_w  # 128
+    q = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+    rel_h = jnp.asarray(rng.standard_normal((bh, n, k_h)), jnp.float32) * 0.2
+    rel_w = jnp.asarray(rng.standard_normal((bh, n, k_w)), jnp.float32) * 0.2
+
+    def loss_fused(q, k, v, rh, rw):
+        return jnp.sum(fused_attention_rel(q, k, v, rh, rw, 0.25, (k_h, k_w), 128, True) ** 2)
+
+    def loss_ref(q, k, v, rh, rw):
+        bias = (rh[:, :, :, None] + rw[:, :, None, :]).reshape(bh, n, n)
+        return jnp.sum(_reference(q, k, v, bias, 0.25) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(q, k, v, rel_h, rel_w)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, rel_h, rel_w)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
