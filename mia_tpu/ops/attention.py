@@ -215,32 +215,34 @@ def _rel_fwd(q, k, v, rel_h, rel_w, scale, k_hw, block_q, interpret):
 
 
 def _rel_bwd(scale, k_hw, block_q, interpret, residuals, g):
+    """Backward over the REAL keys only: padded keys have p = 0, so every
+    einsum runs on the n_real slice and the dense −inf bias tensor is never
+    built. The reshape-based bias add fuses in XLA (outside Mosaic)."""
     q, k, v, rel_h, rel_w = residuals
     k_h, k_w = k_hw
     n_real = k_h * k_w
     bh, n_pad, d = q.shape
-    q32, k32, v32, g32 = (x.astype(jnp.float32) for x in (q, k, v, g))
-    s = jnp.einsum("bqd,bkd->bqk", q32 * scale, k32)
-    bias_real = (
-        rel_h.astype(jnp.float32)[:, :, :, None]
-        + rel_w.astype(jnp.float32)[:, :, None, :]
-    ).reshape(bh, n_pad, n_real)
-    if n_pad > n_real:
-        bias = jnp.concatenate(
-            [bias_real, jnp.full((bh, n_pad, n_pad - n_real), _NEG_INF, jnp.float32)],
-            axis=2,
-        )
-    else:
-        bias = bias_real
-    p = jax.nn.softmax(s + bias, axis=-1)
+    q32 = q.astype(jnp.float32)
+    k32 = k[:, :n_real].astype(jnp.float32)
+    v32 = v[:, :n_real].astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    s = jnp.einsum("bqd,bkd->bqk", q32 * scale, k32)  # (BH, N_pad, n_real)
+    s = s.reshape(bh, n_pad, k_h, k_w)
+    s = s + rel_h.astype(jnp.float32)[:, :, :, None]
+    s = s + rel_w.astype(jnp.float32)[:, :, None, :]
+    p = jax.nn.softmax(s.reshape(bh, n_pad, n_real), axis=-1)
     dv = jnp.einsum("bqk,bqd->bkd", p, g32)
     dp = jnp.einsum("bqd,bkd->bqk", g32, v32)
     ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
     dq = jnp.einsum("bqk,bkd->bqd", ds, k32) * scale
     dk = jnp.einsum("bqk,bqd->bkd", ds, q32) * scale
-    ds_real = ds[:, :, :n_real].reshape(bh, n_pad, k_h, k_w)
+    ds_real = ds.reshape(bh, n_pad, k_h, k_w)
     drel_h = jnp.sum(ds_real, axis=3)
     drel_w = jnp.sum(ds_real, axis=2)
+    pad = n_pad - n_real
+    if pad:
+        dk = jnp.pad(dk, ((0, 0), (0, pad), (0, 0)))
+        dv = jnp.pad(dv, ((0, 0), (0, pad), (0, 0)))
     return (
         dq.astype(q.dtype),
         dk.astype(k.dtype),
