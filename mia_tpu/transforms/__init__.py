@@ -15,6 +15,7 @@ from .image import (
     SimulateLowRes,
 )
 from .joint import (
+    FusedRandomAffines,
     JointResize,
     RandomRotation90,
     MirrorTransform,
@@ -38,6 +39,7 @@ __all__ = [
     "RandomGaussianNoise",
     "RandomGaussianBlur",
     "SimulateLowRes",
+    "FusedRandomAffines",
     "JointResize",
     "RandomRotation90",
     "MirrorTransform",

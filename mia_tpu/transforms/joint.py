@@ -139,8 +139,8 @@ class RandomAffine(Transform):
         else:
             self.shear = None
 
-    def apply(self, rng, image, label):
-        h, w = image.shape[0], image.shape[1]
+    def _sample_matrix(self, rng, h, w, center):
+        """Sample torchvision get_params and return the 2x3 inverse matrix."""
         r_angle, r_tx, r_ty, r_scale, r_shx, r_shy = jax.random.split(rng, 6)
         angle = jax.random.uniform(
             r_angle, (), jnp.float32, self.degrees[0], self.degrees[1]
@@ -167,9 +167,12 @@ class RandomAffine(Transform):
                 shy = jax.random.uniform(
                     r_shy, (), jnp.float32, self.shear[2], self.shear[3]
                 )
+        return affine_inverse_matrix(angle, (tx, ty), scale, (shx, shy), center)
 
+    def apply(self, rng, image, label):
+        h, w = image.shape[0], image.shape[1]
         center = ((w - 1) * 0.5, (h - 1) * 0.5)
-        m = affine_inverse_matrix(angle, (tx, ty), scale, (shx, shy), center)
+        m = self._sample_matrix(rng, h, w, center)
         image = affine_warp(image, m, "nearest")
         label = affine_warp(label[..., None], m, "nearest")[..., 0]
         return image, label
@@ -181,5 +184,58 @@ class RandomAffine(Transform):
                 "translate": self.translate,
                 "scale": self.scale,
                 "shear": self.shear,
+            }
+        }
+
+
+class FusedRandomAffines(Transform):
+    """Several Bernoulli-gated RandomAffines composed into ONE warp.
+
+    Under ``vmap`` a ``lax.cond`` gate computes both branches, so a recipe
+    with two gated affines always pays two full image warps. Composing the
+    (gate-conditional) inverse matrices — identity when a gate misses —
+    costs one warp total. Exact for 0 or 1 firing gates (an identity
+    nearest warp is a true no-op); when several fire simultaneously the
+    single composed resample replaces the reference's sequential
+    double-resample (fewer rounding artifacts; distribution-level parity
+    per SURVEY §7).
+    """
+
+    def __init__(self, affines_with_p: list):
+        self.affines_with_p = [(a, float(p)) for a, p in affines_with_p]
+
+    def apply(self, rng, image, label):
+        h, w = image.shape[0], image.shape[1]
+        center = ((w - 1) * 0.5, (h - 1) * 0.5)
+        # output -> input matrices compose left-to-right: applying A then B
+        # to the image means sampling source = M_A(M_B(out)), i.e. M_A @ M_B
+        m = jnp.eye(3, dtype=jnp.float32)
+        identity = jnp.eye(3, dtype=jnp.float32)
+        for affine, p in self.affines_with_p:
+            rng, gate_rng, p_rng = jax.random.split(rng, 3)
+            mi = jnp.concatenate(
+                [affine._sample_matrix(p_rng, h, w, center),
+                 jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)],
+                axis=0,
+            )
+            fire = jax.random.uniform(gate_rng) < p
+            mi = jnp.where(fire, mi, identity)
+            m = m @ mi
+        matrix = m[:2]
+        is_identity = jnp.all(jnp.abs(m - identity) < 1e-12)
+
+        warped_img = affine_warp(image, matrix, "nearest")
+        warped_lbl = affine_warp(label[..., None], matrix, "nearest")[..., 0]
+        image = jnp.where(is_identity, image, warped_img)
+        label = jnp.where(is_identity, label, warped_lbl)
+        return image, label
+
+    def get_params_dict(self):
+        return {
+            "FusedRandomAffines": {
+                "affines": [
+                    {"p": p, "transform": a.get_params_dict()}
+                    for a, p in self.affines_with_p
+                ]
             }
         }

@@ -19,16 +19,32 @@ from .image import (
     RandomGaussianNoise,
     SimulateLowRes,
 )
-from .joint import MirrorTransform, RandomAffine, RandomRotation90
+from .joint import FusedRandomAffines, MirrorTransform, RandomAffine, RandomRotation90
 
 
-def get_train_transform(dataset: str, do_augment: bool = True) -> ComposeTransform:
+def get_train_transform(
+    dataset: str, do_augment: bool = True, fuse_affines: bool = True
+) -> ComposeTransform:
+    """``fuse_affines`` composes the two gated affines into one warp (TPU
+    saves a full gather pass; see FusedRandomAffines for the semantics)."""
     transforms = []
     if do_augment:
         if dataset in ("fugc", "busi"):
-            transforms = [
-                RandomTransform(RandomAffine(scale=(0.7, 1.4)), p=0.2),
-                RandomTransform(RandomAffine(degrees=(-15, 15)), p=0.2),
+            if fuse_affines:
+                affines = [
+                    FusedRandomAffines(
+                        [
+                            (RandomAffine(scale=(0.7, 1.4)), 0.2),
+                            (RandomAffine(degrees=(-15, 15)), 0.2),
+                        ]
+                    )
+                ]
+            else:
+                affines = [
+                    RandomTransform(RandomAffine(scale=(0.7, 1.4)), p=0.2),
+                    RandomTransform(RandomAffine(degrees=(-15, 15)), p=0.2),
+                ]
+            transforms = affines + [
                 RandomTransform(RandomGaussianNoise(sigma=(0, 0.1)), p=0.1),
                 RandomTransform(RandomGaussianBlur(sigma=(0.5, 1)), p=0.2),
                 RandomTransform(RandomBrightness(brightness=0.25), p=0.15),

@@ -182,3 +182,37 @@ def test_joint_resize(rng):
     xr, lr = JointResize(32).apply(jax.random.PRNGKey(0), x, l)
     assert xr.shape == (32, 32, 1) and lr.shape == (32, 32)
     assert set(np.unique(np.asarray(lr))) <= set(np.unique(np.asarray(l)))
+
+
+def test_fused_affines_matches_sequential_single_fire(rng):
+    """With exactly one gate firing, the fused composition equals the plain
+    gated-affine result for the same parameter draw."""
+    from mia_tpu.transforms import FusedRandomAffines
+
+    x = jnp.asarray(rng.random((32, 32, 1), np.float32))
+    l = jnp.asarray(rng.integers(0, 3, (32, 32)), np.int32)
+    a1 = RandomAffine(scale=(0.8, 0.8))   # deterministic params
+    a2 = RandomAffine(degrees=(17.0, 17.0))
+
+    for fire_first in (True, False):
+        probs = (1.0, 0.0) if fire_first else (0.0, 1.0)
+        fused = FusedRandomAffines([(a1, probs[0]), (a2, probs[1])])
+        key = jax.random.PRNGKey(5)
+        xf, lf = fused.apply(key, x, l)
+        ref_affine = a1 if fire_first else a2
+        xr, lr = ref_affine.apply(jax.random.PRNGKey(0), x, l)  # params deterministic
+        np.testing.assert_allclose(np.asarray(xf), np.asarray(xr), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(lf), np.asarray(lr))
+
+
+def test_fused_affines_identity_when_no_fire(rng):
+    from mia_tpu.transforms import FusedRandomAffines
+
+    x = jnp.asarray(rng.random((16, 16, 1), np.float32))
+    l = jnp.asarray(rng.integers(0, 3, (16, 16)), np.int32)
+    fused = FusedRandomAffines(
+        [(RandomAffine(scale=(0.7, 1.4)), 0.0), (RandomAffine(degrees=(-15, 15)), 0.0)]
+    )
+    xf, lf = fused.apply(jax.random.PRNGKey(0), x, l)
+    np.testing.assert_array_equal(np.asarray(xf), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(lf), np.asarray(l))
