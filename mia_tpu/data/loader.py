@@ -55,7 +55,15 @@ class BatchLoader:
         sharding=None,
         num_prefetch: int = 2,
         oversample: bool = False,
+        compact_transfer: bool = True,
+        quantize_images: bool = False,
     ):
+        """``compact_transfer`` downcasts labels to uint8/int16 before the
+        host→device copy (lossless — class ids are tiny); with
+        ``quantize_images`` images ship as uint8 too (±1/255 quantization,
+        4× less wire traffic — matters on slow links; consumers get float32
+        back from ``batch["image"]`` either way after an on-device cast by
+        the train step's first op)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -65,6 +73,8 @@ class BatchLoader:
         self.sharding = sharding
         self.num_prefetch = num_prefetch
         self.oversample = oversample
+        self.compact_transfer = compact_transfer
+        self.quantize_images = quantize_images
         self._rng = np.random.default_rng(seed)
 
     def _index_batches(self) -> Iterator[list[int]]:
@@ -140,6 +150,16 @@ class BatchLoader:
         if batch is None:
             batch = collate([self.dataset.get_sample(int(i)) for i in indices])
         if self.device_put:
+            if self.compact_transfer and "label" in batch:
+                lbl = np.asarray(batch["label"])
+                if lbl.dtype.itemsize > 1 and lbl.min() >= 0 and lbl.max() < 256:
+                    batch["label"] = lbl.astype(np.uint8)
+            if self.quantize_images and "image" in batch:
+                img = np.asarray(batch["image"])
+                if img.dtype == np.float32:
+                    batch["image"] = np.clip(
+                        np.rint(img * 255.0), 0, 255
+                    ).astype(np.uint8)
             for key in ("image", "label"):
                 if key in batch:
                     arr = batch[key]

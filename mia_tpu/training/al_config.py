@@ -42,6 +42,7 @@ class ALConfig:
         valid_batch_size: int = 1,
         num_workers: int = 1,
         pin_memory: bool = True,
+        quantize_transfer: bool = False,
         # Training parameters
         active_learning: bool = True,
         num_rounds: int = 5,
@@ -115,6 +116,7 @@ class ALConfig:
         self.valid_batch_size = valid_batch_size
         self.num_workers = num_workers
         self.pin_memory = pin_memory
+        self.quantize_transfer = quantize_transfer
 
         self.active_learning = active_learning
         if self.active_learning:

@@ -395,6 +395,7 @@ class ALTrainer(BaseTrainer):
             drop_last=True,
             seed=self.seed + self.current_round,
             oversample=self.config.do_oversample,
+            quantize_images=getattr(self.config, "quantize_transfer", False),
         )
 
     # ------------------------------------------------------------------
@@ -715,13 +716,19 @@ class ALTrainer(BaseTrainer):
         start = time.time()
         self.logger.info(f"Iteration {self.current_iter}:")
 
-        images = jnp.asarray(sampled_batch["image"], jnp.float32)
+        images = jnp.asarray(sampled_batch["image"])
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+        else:
+            images = images.astype(jnp.float32)
         labels = jnp.asarray(sampled_batch["label"], jnp.int32)
 
+        step_index = self.current_iter
         with trace_span("train/step"):
             self.state, metrics = self._train_step(self.state, images, labels, self.root_key)
-        loss = float(metrics["loss"])
-        lr = float(metrics.get("lr", self.config.start_lr))
+        loss = float(metrics["loss"])  # the ONE device fetch per iteration
+        # lr is a pure function of the step — no second D2H round-trip
+        lr = float(self.lr_schedule(step_index))
         self.logger.info(f"lr: {lr}")
         self.logger.info(f"Loss: {loss}")
         self.epoch_train_outputs.append({"loss": loss})

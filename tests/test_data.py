@@ -178,3 +178,22 @@ def test_la2018(tmp_path):
     image, label = ds.get_sample(0)
     assert image.shape == (4, 8, 8)
     assert set(np.unique(label)) <= {0, 1, 2}
+
+
+def test_loader_compact_transfer(tmp_path):
+    make_fugc(tmp_path, n_train=4, size=(32, 32))
+    ds = FUGCDataset(tmp_path, split="train", image_size=32)
+    loader = BatchLoader(ds, batch_size=2, shuffle=False, device_put=True,
+                         num_prefetch=0, quantize_images=True)
+    batch = next(iter(loader))
+    import jax.numpy as jnp
+
+    assert batch["label"].dtype == jnp.uint8  # lossless downcast
+    assert batch["image"].dtype == jnp.uint8  # opt-in quantization
+    ref = ds.get_sample(0)
+    import numpy as np
+
+    np.testing.assert_allclose(
+        np.asarray(batch["image"][0], np.float32) / 255.0, ref["image"], atol=1 / 255
+    )
+    np.testing.assert_array_equal(np.asarray(batch["label"][0]), ref["label"])
