@@ -100,7 +100,7 @@ def _interp_linear(x: np.ndarray, new_len: int) -> np.ndarray:
     pos = (np.arange(new_len) + 0.5) * n / new_len - 0.5
     lo = np.clip(np.floor(pos).astype(int), 0, n - 1)
     hi = np.clip(lo + 1, 0, n - 1)
-    frac = np.clip(pos - lo, 0.0, 1.0)[:, None]
+    frac = np.clip(pos - lo, 0.0, 1.0).reshape((new_len,) + (1,) * (x.ndim - 1))
     return x[lo] * (1 - frac) + x[hi] * frac
 
 
@@ -124,8 +124,6 @@ def import_torch_sam_encoder(
     }
     pos = sd["pos_embed"]  # (1, S, S, C)
     if pos.shape[1] != token_size:
-        from PIL import Image as _  # noqa: F401  (documentational)
-
         # bilinear resize over the two spatial axes (align_corners=False)
         pos = _interp_linear(pos[0], token_size)
         pos = _interp_linear(pos.transpose(1, 0, 2), token_size).transpose(1, 0, 2)
