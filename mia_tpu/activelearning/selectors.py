@@ -48,6 +48,9 @@ class ActiveSelector:
 
 
 class RandomSelector(ActiveSelector):
+    def __init__(self, **_):
+        pass  # accepts (and ignores) the common selector kwargs
+
     def select_next_batch(self, active_dataset, select_num, scorer=None, seed=None):
         return self._random_pick(active_dataset, select_num, seed)
 
