@@ -162,3 +162,31 @@ def test_acdc_volume_mode(tmp_path):
     # per-class columns for RV/Myo/LV
     header = (trainer.work_path / "test_mean_round_0.csv").read_text().splitlines()[0]
     assert "RV-DSC" in header and "LV-HD" in header
+
+
+def test_resume_restores_counters_and_data_list(fugc_root, tmp_path):
+    """--resume semantics (al_trainer.py:1694-1733): counters offset by 1,
+    labeled/pool split restored, optimizer state reloaded."""
+    trainer = _tiny_trainer(
+        fugc_root, tmp_path, num_iters=2, num_rounds=1, valid_freq_iter=1
+    )
+    trainer.initialize()
+    trainer.run_training()
+    ckpt = trainer.work_path / "round_0/final_model"
+    assert (ckpt / "training_state.json").is_file()
+    assert (ckpt / "opt_state.msgpack").is_file()
+    saved = json.loads((ckpt / "training_state.json").read_text())
+
+    trainer2 = _tiny_trainer(
+        fugc_root, tmp_path / "w2", num_iters=2, num_rounds=1, valid_freq_iter=1
+    )
+    trainer2.resume = str(ckpt)
+    trainer2.initialize()
+    trainer2.on_train_start()  # performs the resume
+    assert trainer2.current_iter == saved["current_iter"] + 1
+    assert trainer2.current_round == saved["current_round"] + 1
+    assert (
+        trainer2.active_dataset.data_list()["labeled_image_idx"]
+        == saved["data_list"]["labeled_image_idx"]
+    )
+    assert int(trainer2.state.step) == saved["current_iter"] + 1
