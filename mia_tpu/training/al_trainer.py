@@ -820,9 +820,10 @@ class ALTrainer(BaseTrainer):
             sp = np.ones(3, np.float32)
 
         fn = self._metrics_slices if slices_mode else self._metrics_volume
+        # class ids < 256: ship masks as uint8 (4x less H2D traffic)
         metric_all, per_cls = fn(
-            jnp.asarray(pred_native),
-            jnp.asarray(labels_pad),
+            jnp.asarray(pred_native.astype(np.uint8)),
+            jnp.asarray(labels_pad.astype(np.uint8)),
             jnp.asarray(sp),
             jnp.asarray([n, h, w], jnp.int32),
         )
