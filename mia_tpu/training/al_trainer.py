@@ -458,11 +458,13 @@ class ALTrainer(BaseTrainer):
         processor = self.model_processor
         num_classes = self.config.num_classes
 
-        def forward_eval(params, batch_stats, images, labels):
+        def forward_eval(params, batch_stats, images, labels, n_valid):
             """Fixed-shape slice-stack forward at the model size.
 
             ``images`` (N, Hm, Wm, C) already resized; ``labels`` (N, Hm, Wm)
-            nearest-resized for the logged loss. Returns (pred, loss).
+            nearest-resized for the logged loss; padded slices beyond
+            ``n_valid`` are excluded from the loss via a masked per-slice
+            mean. Returns (pred, loss).
             """
             variables = {"params": params}
             if jax.tree_util.tree_leaves(batch_stats):
@@ -470,7 +472,11 @@ class ALTrainer(BaseTrainer):
             logits = model.apply(variables, images, train=False)
             prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             pred = jnp.argmax(prob, axis=-1).astype(jnp.int32)
-            loss, _, _ = loss_fn(logits, labels)
+            per_slice = jax.vmap(
+                lambda lg, lb: loss_fn(lg[None], lb[None])[0]
+            )(logits, labels)
+            mask = (jnp.arange(per_slice.shape[0]) < n_valid).astype(jnp.float32)
+            loss = jnp.sum(per_slice * mask) / jnp.maximum(jnp.sum(mask), 1.0)
             return pred, loss
 
         self._forward_eval = jax.jit(forward_eval)
@@ -790,6 +796,7 @@ class ALTrainer(BaseTrainer):
             self.state.batch_stats,
             jnp.asarray(model_imgs),
             jnp.asarray(model_lbls),
+            jnp.asarray(n, jnp.int32),
         )
         pred = np.asarray(pred)[:n]
 
