@@ -1,30 +1,50 @@
-"""Benchmark: UNet train-step throughput (images/sec/chip).
+"""Benchmark: production-path throughput (images/sec/chip).
 
-Primary metric per BASELINE.md: images/sec/chip on the AL-path UNet
-(FUGC config, 256x256). ``vs_baseline`` compares against the reference
-PyTorch train step measured on the same host when available (falls back to
-1.0 — the reference publishes no numbers, BASELINE.md).
+Headline metric per VERDICT r1 / BASELINE.md: the PRODUCTION AL train step —
+UNet + fused on-device augmentation recipe (FUGC recipe) + Dice+CE + adam +
+global-norm clip at batch 128, 256x256 — i.e. the program `ALTrainer`
+actually runs every iteration (al_trainer.py `_make_programs`), not the bare
+step. Extra metrics ride along in the same JSON line:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+- ``unet_train_bare``: the step without augmentation (round-1 headline)
+- ``unet_train_mfu_pct``: XLA-reported FLOPs / wall-clock vs chip peak
+- ``cpcsam_phase1`` / ``cpcsam_phase2``: CPC-SAM ViT-B/512 train steps
+- ``al_round_seconds``: full AL round (50 iters batch 12 + entropy pool
+  sweep over 200 synthetic FUGC images + valid) wall clock
+
+``vs_baseline`` compares the headline against the reference PyTorch train
+step measured on the same host (torch CPU — its only runnable form here;
+the reference publishes no numbers, BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", extras...}.
 """
 
 from __future__ import annotations
 
 import json
 import time
+import traceback
 
 import numpy as np
 
 
-# batch 128 is the measured throughput knee on a v5e chip (post gather-free
-# CE: 1098 img/s at batch 128; pre-fix curve was 16→309, 64→407, 128→536)
 BATCH = 128
 IMAGE_SIZE = 256
 WARMUP = 3
 ITERS = 20
 
+V5E_PEAK_BF16 = 197e12
 
-def bench_train_step():
+
+def _sync(x):
+    """Through the TPU tunnel block_until_ready returns immediately; only a
+    D2H fetch actually waits, so time by fetching a scalar."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
+def _build_unet_step(augmented: bool):
     import jax
     import jax.numpy as jnp
 
@@ -33,6 +53,7 @@ def bench_train_step():
     from mia_tpu.models.unet import UNet, UNetConfig
     from mia_tpu.schedule import poly_warmup_schedule
     from mia_tpu.training import create_train_state, make_optimizer, make_train_step
+    from mia_tpu.transforms import batch_apply, get_train_transform, zscore_normalize
 
     cfg = UNetConfig(**{**FLAGSHIP_KWARGS, "compute_dtype": jnp.bfloat16})
     model = UNet(cfg)
@@ -43,33 +64,165 @@ def bench_train_step():
     lr = poly_warmup_schedule(1e-3, max_steps=1000, warmup_steps=100)
     tx = make_optimizer("adam", lr, grad_clip=10.0)
     state = create_train_state(model, jax.random.PRNGKey(0), images[:1], tx)
-    step = make_train_step(DiceAndCELoss(dice_weight=0.5, ce_weight=0.5), lr)
+
+    preprocess = None
+    if augmented:
+        recipe = get_train_transform("fugc", True)
+
+        def preprocess(rng, images, labels):
+            images, labels = batch_apply(recipe, rng, images, labels)
+            return jax.vmap(zscore_normalize)(images), labels
+
+    step = make_train_step(
+        DiceAndCELoss(dice_weight=0.5, ce_weight=0.5), lr, preprocess_fn=preprocess
+    )
+    return step, state, images, labels
+
+
+def _time_step(step, state, images, labels, iters=ITERS, warmup=WARMUP):
+    import jax
+
     key = jax.random.PRNGKey(1)
-
-    # NOTE: through the TPU tunnel, block_until_ready returns immediately;
-    # only a D2H fetch (float()) actually waits for execution. Time by
-    # fetching the final loss scalar.
-    for _ in range(WARMUP):
+    for _ in range(warmup):
         state, metrics = step(state, images, labels, key)
-    float(metrics["loss"])
-
+    _sync(metrics["loss"])
     start = time.perf_counter()
-    for _ in range(ITERS):
+    for _ in range(iters):
         state, metrics = step(state, images, labels, key)
-    float(metrics["loss"])
-    elapsed = time.perf_counter() - start
-    return BATCH * ITERS / elapsed
+    _sync(metrics["loss"])
+    return images.shape[0] * iters / (time.perf_counter() - start)
+
+
+def bench_unet(augmented: bool):
+    step, state, images, labels = _build_unet_step(augmented)
+    return _time_step(step, state, images, labels)
+
+
+def bench_unet_mfu():
+    """Bare-step MFU from XLA's own cost analysis."""
+    import jax
+
+    step, state, images, labels = _build_unet_step(False)
+    ips = _time_step(step, state, images, labels)
+    try:
+        key = jax.random.PRNGKey(1)
+        cost = jax.jit(step).lower(state, images, labels, key).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0))
+        mfu = (ips / images.shape[0]) * flops_per_step / V5E_PEAK_BF16 * 100
+        return ips, round(mfu, 1)
+    except Exception:
+        return ips, None
+
+
+def bench_cpcsam_steps():
+    """CPC-SAM ViT-B/512 phase-1 and phase-2 train steps (the real
+    `CPCSAMTrainer` programs: dual-mask forward, LoRA-masked adam, prompt
+    self-generation on device in phase 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mia_tpu.memories import init_feature_memory
+    from mia_tpu.training.cpcsam_trainer import CPCSAMConfig, CPCSAMTrainer
+
+    cfg = CPCSAMConfig(
+        batch_size=8,
+        labeled_batch_ratio=0.5,
+        image_size=512,
+        num_classes=3,
+        compute_dtype="bfloat16",
+        max_iter=1000,
+        warmup_iter=10,
+        use_contrastive_loss=False,
+        use_adv_loss=False,
+    )
+    trainer = CPCSAMTrainer(
+        work_path="/tmp/bench_cpcsam", config=cfg, verbose=False
+    )
+    trainer.initialize()  # logger + model build
+    trainer._setup_loss()
+    trainer._setup_optimizer()
+    trainer._make_programs()
+    trainer.memory = init_feature_memory(cfg.num_classes, 2 * (256 // 16))
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((cfg.batch_size, 512, 512, 3), np.float32))
+    labels = jnp.asarray(
+        rng.integers(0, cfg.num_classes + 1, (cfg.batch_size, 512, 512)), jnp.int32
+    )
+
+    out = {}
+    for name, fn in (("phase1", trainer._step_phase1), ("phase2", trainer._step_phase2)):
+        params, opt_state, memory = trainer.params, trainer.opt_state, trainer.memory
+        key = jax.random.PRNGKey(0)
+        for i in range(2):
+            params, opt_state, memory, metrics = fn(
+                params, opt_state, memory, images, labels, key, jnp.asarray(i)
+            )
+        _sync(metrics["loss"])
+        iters = 5
+        start = time.perf_counter()
+        for i in range(iters):
+            params, opt_state, memory, metrics = fn(
+                params, opt_state, memory, images, labels, key, jnp.asarray(i)
+            )
+        _sync(metrics["loss"])
+        out[name] = round(cfg.batch_size * iters / (time.perf_counter() - start), 2)
+    return out
+
+
+def bench_al_round(tmp_root="/tmp/bench_al_round"):
+    """Full AL-round wall clock: 200-image synthetic FUGC pool at 384x512,
+    50 train iters batch 12 + entropy acquisition sweep + valid epoch."""
+    import shutil
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, "tests")
+    from synth_data import make_fugc
+
+    root = Path(tmp_root)
+    shutil.rmtree(root, ignore_errors=True)
+    root.mkdir(parents=True)
+    make_fugc(root / "data", n_train=200, n_val=4, n_test=2, size=(384, 512))
+
+    from mia_tpu.training.al_trainer import ALTrainer
+
+    trainer = ALTrainer(
+        work_path=root / "work",
+        config=dict(
+            dataset="fugc",
+            data_path=str(root / "data"),
+            in_channels=3,
+            num_classes=2,
+            image_size=256,
+            batch_size=12,
+            valid_batch_size=1,
+            active_learning=True,
+            num_rounds=1,
+            budget=20,
+            active_selector_name="entropy",
+            num_iters=50,
+            valid_freq_iter=50,
+            do_augment=True,
+            do_normalize=True,
+            do_oversample=True,
+            compute_dtype="bfloat16",
+        ),
+        verbose=False,
+    )
+    trainer.initialize()
+    start = time.perf_counter()
+    trainer.run_training()
+    return round(time.perf_counter() - start, 1)
 
 
 def bench_torch_reference():
-    """Reference-equivalent torch train step, images/sec.
-
-    The reference stack is torch-only and this image has no CUDA, so its
-    only runnable form is torch CPU — measured with the same architecture
-    (tests/torch_ref.TorchUNet mirrors the reference UNet), same image
-    size, Dice+CE, adam, grad-clip 10. ``vs_baseline`` is therefore
-    ours-on-TPU / reference-on-host for this machine.
-    """
+    """Reference-equivalent torch train step, images/sec (torch CPU — the
+    reference stack is torch-only and this image has no CUDA). Same
+    architecture (tests/torch_ref.TorchUNet mirrors the reference UNet),
+    image size, Dice+CE, adam, grad-clip 10."""
     try:
         import sys
 
@@ -116,16 +269,38 @@ def bench_torch_reference():
 
 
 def main():
-    value = bench_train_step()
-    baseline = bench_torch_reference()
+    extras = {}
+    value = bench_unet(augmented=True)
+
+    for key, fn in (
+        ("unet_train_bare_img_per_sec", lambda: bench_unet_mfu()),
+        ("cpcsam_img_per_sec", bench_cpcsam_steps),
+        ("al_round_seconds", bench_al_round),
+    ):
+        try:
+            extras[key] = fn()
+        except Exception:
+            extras[key] = None
+            traceback.print_exc()
+    if isinstance(extras.get("unet_train_bare_img_per_sec"), tuple):
+        bare, mfu = extras.pop("unet_train_bare_img_per_sec")
+        extras["unet_train_bare_img_per_sec"] = round(bare, 2)
+        extras["unet_train_bare_mfu_pct"] = mfu
+
+    baseline = None
+    try:
+        baseline = bench_torch_reference()
+    except Exception:
+        traceback.print_exc()
     vs = value / baseline if baseline else 1.0
     print(
         json.dumps(
             {
-                "metric": "unet_train_images_per_sec_per_chip",
+                "metric": "al_train_step_augmented_images_per_sec_per_chip",
                 "value": round(value, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(vs, 3),
+                **extras,
             }
         )
     )

@@ -8,10 +8,12 @@ matmuls; this kernel keeps a q-block's scores in VMEM, fusing
 q-block) grid cell. The decomposed rel-pos bias rides in as an additive
 (B·heads, N, N) operand.
 
-Gradients: ``fused_attention`` carries a custom VJP whose backward is the
-standard einsum attention gradient (XLA) — fused forward speed, exact
-grads. Sequences are padded to the q-block size by the caller with
-``bias = -inf`` on padded keys.
+Gradients: ``fused_attention_rel`` carries a custom VJP whose backward is
+a flash-style Pallas kernel (scores recomputed per q-block, five gradient
+matmuls in the input dtype, dk/dv reduced across q-blocks in fp32).
+``fused_attention`` (dense-bias variant, off the ViT hot path) keeps the
+einsum backward. Sequences are padded to the q-block size by the caller
+with ``bias = -inf`` on padded keys.
 
 On non-TPU backends the kernel runs in Pallas interpret mode (tests), so
 one code path serves everywhere.
@@ -29,26 +31,28 @@ _NEG_INF = -1e30
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
-    k = k_ref[0].astype(jnp.float32)  # (N, D)
-    v = v_ref[0].astype(jnp.float32)  # (N, D)
+    # Dots run in the INPUT dtype (bf16 on the fast MXU path) with fp32
+    # accumulation; softmax statistics stay fp32.
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (N, D)
+    v = v_ref[0]  # (N, D)
     s = jax.lax.dot_general(
-        q * scale,
+        q,
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (BQ, N)
+    ) * scale  # (BQ, N)
     s = s + bias_ref[0].astype(jnp.float32)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
-        p,
+        (p / denom).astype(v.dtype),
         v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0] = (o / denom).astype(o_ref.dtype)
+    o_ref[0] = o.astype(o_ref.dtype)
 
 
 def _fused_attention_fwd_impl(q, k, v, bias, scale: float, block_q: int, interpret: bool):
@@ -127,146 +131,322 @@ def attention_with_padding(q, k, v, bias, scale: float, block_q: int = 128):
 # ---------------------------------------------------------------------------
 
 
+def _onehot_expanders_t(k_h: int, k_w: int, n_pad: int, n_real: int, dtype):
+    """(n_pad, k_h) / (n_pad, k_w) one-hot matrices (key-major) that expand
+    the factored rel-pos bias — ``bias[q, j] = rel_h[q, j // k_w] +
+    rel_w[q, j % k_w]``. They are CONCATENATED onto k inside the kernel so
+    the score matmul carries the bias in the same MXU pass:
+    ``s = [q·scale | rel_h | rel_w] @ [k | E_hᵀ | E_wᵀ]ᵀ`` with contraction
+    depth D + k_h + k_w (92 → one 128-deep pass for 14×14 windows, exactly
+    128 for 32×32 global layers) instead of three separate small matmuls.
+    Entries are 0/1, so bf16 is exact; rows ≥ n_real (key padding) are
+    zero."""
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (n_pad, k_h), 0)
+    col_h = jax.lax.broadcasted_iota(jnp.int32, (n_pad, k_h), 1)
+    e_h_t = ((row_h // k_w == col_h) & (row_h < n_real)).astype(dtype)
+    row_w = jax.lax.broadcasted_iota(jnp.int32, (n_pad, k_w), 0)
+    col_w = jax.lax.broadcasted_iota(jnp.int32, (n_pad, k_w), 1)
+    e_w_t = ((row_w % k_w == col_w) & (row_w < n_real)).astype(dtype)
+    return e_h_t, e_w_t
+
+
 def _attn_rel_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
                      scale: float, k_h: int, k_w: int, n_real: int):
-    """Reshape-free bias expansion: Mosaic cannot lane-split a (BQ, N)
-    vector into (BQ, k_h, k_w), so the factored bias is expanded through two
-    small one-hot matmuls built from iota —
-    ``bias = rel_h @ E_h + rel_w @ E_w`` with
-    ``E_h[i, j] = [j // k_w == i]``, ``E_w[i, j] = [j % k_w == i]``."""
-    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
-    k = k_ref[0].astype(jnp.float32)  # (N_pad, D)
-    v = v_ref[0].astype(jnp.float32)
-    bq = q.shape[0]
-    n_pad = k.shape[0]
-    s = jax.lax.dot_general(
-        q * scale, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BQ, N_pad)
-    rel_h = rh_ref[0].astype(jnp.float32)  # (BQ, k_h)
-    rel_w = rw_ref[0].astype(jnp.float32)  # (BQ, k_w)
+    """Score matmul with the factored rel-pos bias folded into the SAME MXU
+    pass via K-axis concatenation (see ``_onehot_expanders_t``). Dots run in
+    the INPUT dtype (bf16 fast path, fp32 accumulation); softmax statistics
+    stay fp32.
 
-    col_h = jax.lax.broadcasted_iota(jnp.int32, (k_h, n_pad), 1)
-    row_h = jax.lax.broadcasted_iota(jnp.int32, (k_h, n_pad), 0)
-    e_h = ((col_h // k_w == row_h) & (col_h < n_real)).astype(jnp.float32)
-    col_w = jax.lax.broadcasted_iota(jnp.int32, (k_w, n_pad), 1)
-    row_w = jax.lax.broadcasted_iota(jnp.int32, (k_w, n_pad), 0)
-    e_w = ((col_w % k_w == row_w) & (col_w < n_real)).astype(jnp.float32)
+    Each grid cell processes a GROUP of ``G`` (batch·head) rows via an
+    unrolled loop — per-cell work at SAM window sizes (N_pad = 256,
+    D = 64) is ~10 MFLOP, far too small to amortize per-cell overheads
+    at G = 1."""
+    g_size = q_ref.shape[0]
+    n_pad = k_ref.shape[1]
+    e_h_t, e_w_t = _onehot_expanders_t(k_h, k_w, n_pad, n_real, q_ref.dtype)
+    scale_lo = jnp.asarray(scale, q_ref.dtype)
+    padded = n_pad > n_real
+    if padded:
+        # inputs are UNPADDED in HBM — rows past n_real of this block are
+        # out-of-bounds garbage (possibly NaN/Inf), so every operand that
+        # feeds a matmul contraction must be zero-masked (0·NaN = NaN).
+        kmask = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0) < n_real
+    for g in range(g_size):
+        v = v_ref[g]
+        q_aug = jnp.concatenate(
+            [q_ref[g] * scale_lo, rh_ref[g], rw_ref[g]], axis=1
+        )  # (BQ, D + k_h + k_w)
+        k_aug = jnp.concatenate([k_ref[g], e_h_t, e_w_t], axis=1)
+        bq = q_aug.shape[0]
+        s = jax.lax.dot_general(
+            q_aug, k_aug,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, N_pad)
+        if padded:
+            col = jax.lax.broadcasted_iota(jnp.int32, (bq, n_pad), 1)
+            s = jnp.where(col < n_real, s, _NEG_INF)
+            v = jnp.where(kmask, v, 0)
 
-    s = s + jax.lax.dot_general(
-        rel_h, e_h, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    s = s + jax.lax.dot_general(
-        rel_w, e_w, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if n_pad > n_real:
-        col = jax.lax.broadcasted_iota(jnp.int32, (bq, n_pad), 1)
-        s = jnp.where(col < n_real, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            (p / denom).astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[g] = o.astype(o_ref.dtype)
 
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p, v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+
+def _pick_block_q(n_pad: int) -> int:
+    """Largest power-of-two block ≤ 256 dividing n_pad (n_pad is always a
+    multiple of 128 after padding). 256 measured best at both SAM shapes:
+    whole 14×14 windows in one block, and 4 blocks × group-of-3 for the
+    1024-token global layers."""
+    bq = 256
+    while n_pad % bq:
+        bq //= 2
+    return bq
+
+
+def _pick_group(bh: int, n_pad: int, block_q: int, d: int, ka: int,
+                itemsize: int, bwd: bool,
+                budget_bytes: int = 6 * 2**20) -> int:
+    """Largest divisor of bh ≤ 16 whose per-cell VMEM footprint fits the
+    budget (16 MB VMEM total; leave headroom for Mosaic's own buffers).
+
+    Accounts: double-buffered operand/output blocks at the input itemsize,
+    the live fp32 score-sized buffers (2 fwd: s, p; 4 bwd: s, p, dp, ds),
+    the in-kernel q_aug/k_aug concat copies, and (bwd) the fp32 dk/dv
+    accumulators."""
+    score_f32 = (4 if bwd else 2) * block_q * n_pad * 4
+    n_q_streams = 3 if bwd else 1  # q[,o,g]
+    ins = 2 * itemsize * (
+        n_q_streams * block_q * d + 2 * n_pad * d + block_q * ka
     )
-    o_ref[0] = (o / denom).astype(o_ref.dtype)
+    concats = itemsize * (block_q + n_pad) * (d + ka)
+    if bwd:
+        outs = 2 * (block_q * (d + ka) * itemsize + 2 * n_pad * d * 4)
+    else:
+        outs = 2 * block_q * d * itemsize
+    per_g = score_f32 + ins + concats + outs
+    g_cap = max(1, budget_bytes // max(per_g, 1))
+    for cand in range(min(g_cap, 16), 0, -1):
+        if bh % cand == 0:
+            return cand
+    return 1
 
 
 def _fused_rel_fwd_impl(q, k, v, rel_h, rel_w, scale, k_hw, block_q, interpret):
-    bh, n_pad, d = q.shape
+    bh, n, d = q.shape
     k_h, k_w = k_hw
-    n_real = k_h * k_w
-    grid = (bh, n_pad // block_q)
+    if n != k_h * k_w:
+        raise ValueError(f"token count {n} != k_h*k_w {k_h * k_w}")
+    n_real = n
+    if block_q is None:
+        block_q = _pick_block_q(pad_for_attention(n, 128))
+    # blocks need not divide the token axis: out-of-bounds reads are
+    # garbage (masked in-kernel), out-of-bounds writes are dropped — no
+    # HBM pad/slice round trips.
+    n_blocks = pl.cdiv(n, block_q)
+    n_kblk = n_blocks * block_q
+    block_g = _pick_group(bh, n_kblk, block_q, d, k_h + k_w,
+                          jnp.dtype(q.dtype).itemsize, bwd=False)
+    grid = (bh // block_g, n_blocks)
     return pl.pallas_call(
         functools.partial(
             _attn_rel_kernel, scale=scale, k_h=k_h, k_w=k_w, n_real=n_real
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, n_pad, d), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, block_q, k_h), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, block_q, k_w), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((block_g, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((block_g, n_kblk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((block_g, n_kblk, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((block_g, block_q, k_h), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((block_g, block_q, k_w), lambda b, i: (b, i, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((block_g, block_q, d), lambda b, i: (b, i, 0)),
         interpret=interpret,
     )(q, k, v, rel_h, rel_w)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def fused_attention_rel(q, k, v, rel_h, rel_w, scale, k_hw, block_q=128,
+def fused_attention_rel(q, k, v, rel_h, rel_w, scale, k_hw, block_q=None,
                         interpret=False):
     """softmax(q·kᵀ·scale + rel_h⊕rel_w)·v with the decomposed rel-pos bias
-    applied IN-KERNEL (``rel_h`` (BH, N_pad, k_h), ``rel_w`` (BH, N_pad,
-    k_w)); keys beyond ``k_hw[0]*k_hw[1]`` are masked as padding."""
+    applied IN-KERNEL (``rel_h`` (BH, N, k_h), ``rel_w`` (BH, N, k_w));
+    N must equal ``k_hw[0]*k_hw[1]`` and need NOT be block-aligned."""
     return _fused_rel_fwd_impl(q, k, v, rel_h, rel_w, scale, k_hw, block_q, interpret)
 
 
 def _rel_fwd(q, k, v, rel_h, rel_w, scale, k_hw, block_q, interpret):
     out = _fused_rel_fwd_impl(q, k, v, rel_h, rel_w, scale, k_hw, block_q, interpret)
-    return out, (q, k, v, rel_h, rel_w)
+    return out, (q, k, v, rel_h, rel_w, out)
+
+
+def _rel_bwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, g_ref,
+                    dq_ref, dk_ref, dv_ref, drh_ref, drw_ref, *,
+                    scale: float, k_h: int, k_w: int, n_real: int):
+    """Flash-style backward per (batch·head, q-block) grid cell.
+
+    The full key set fits in VMEM at SAM sizes (N_pad ≤ 1024, D = 64), so
+    instead of saving logsumexp the kernel recomputes scores→softmax for its
+    q-block, then runs the five gradient matmuls in the input dtype (bf16
+    MXU path, fp32 accumulation). dk/dv are accumulated across q-blocks by
+    revisiting the same fp32 output block (the grid's inner axis acts as a
+    sequential reduction on TPU). Padded keys contribute p = 0 so no extra
+    masking is needed; padded-query rows receive zero cotangents from the
+    caller's output slice.
+
+    Like the forward, each grid cell handles a group of ``G`` (batch·head)
+    rows via an unrolled loop to amortize per-cell overhead.
+    """
+    g_size = q_ref.shape[0]
+    n_pad = k_ref.shape[1]
+    d = k_ref.shape[2]
+    e_h_t, e_w_t = _onehot_expanders_t(k_h, k_w, n_pad, n_real, q_ref.dtype)
+    scale_lo = jnp.asarray(scale, q_ref.dtype)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    padded = n_pad > n_real
+    if padded:
+        # Inputs are UNPADDED in HBM: block rows past n_real are garbage
+        # (possibly NaN/Inf). Anything feeding a matmul contraction must be
+        # zero-masked — 0·NaN = NaN would otherwise poison whole outputs.
+        kmask = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0) < n_real
+        bq0 = q_ref.shape[1]
+        qrow = (
+            jax.lax.broadcasted_iota(jnp.int32, (bq0, 1), 0)
+            + pl.program_id(1) * bq0
+        )
+        qmask = qrow < n_real
+
+    for gi in range(g_size):
+        v = v_ref[gi]
+        g = g_ref[gi]  # (BQ, D)
+        o = o_ref[gi]
+        # K-concatenated operands: the score recompute AND the dq/drel/dk
+        # matmuls each collapse into a single wider MXU pass.
+        q_aug = jnp.concatenate(
+            [q_ref[gi] * scale_lo, rh_ref[gi], rw_ref[gi]], axis=1
+        )  # (BQ, Ka)
+        k_aug = jnp.concatenate([k_ref[gi], e_h_t, e_w_t], axis=1)  # (N_pad, Ka)
+        if padded:
+            v = jnp.where(kmask, v, 0)
+            g = jnp.where(qmask, g, 0)
+            q_aug = jnp.where(qmask, q_aug, 0)
+            k_aug = jnp.where(kmask, k_aug, 0)
+        bq = q_aug.shape[0]
+
+        s = jax.lax.dot_general(
+            q_aug, k_aug, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, N_pad)
+        if padded:
+            col = jax.lax.broadcasted_iota(jnp.int32, (bq, n_pad), 1)
+            s = jnp.where(col < n_real, s, _NEG_INF)
+
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)  # fp32 (BQ, N_pad)
+        if padded:
+            p = jnp.where(qmask, p, 0.0)  # garbage q rows: m/denom are NaN
+
+        delta = jnp.sum(
+            g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+        )  # (BQ, 1)
+        if padded:
+            delta = jnp.where(qmask, delta, 0.0)  # o rows are garbage too
+
+        p_lo = p.astype(v.dtype)
+        dv_c = jax.lax.dot_general(  # pᵀ·g → (N_pad, D)
+            p_lo, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(  # g·vᵀ → (BQ, N_pad)
+            g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        ds_lo = ds.astype(q_aug.dtype)
+        # ds·k_aug → [ds·k | ds·E_h | ds·E_w] = [dq/scale | drel_h | drel_w]
+        dq_aug = jax.lax.dot_general(
+            ds_lo, k_aug, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, Ka)
+        # dsᵀ·q_aug → first D columns are dsᵀ·(q·scale) = dk (E parts are
+        # constants whose cotangent is discarded)
+        dk_aug = jax.lax.dot_general(
+            ds_lo, q_aug, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N_pad, Ka)
+
+        dq_ref[gi] = (dq_aug[:, :d] * scale).astype(dq_ref.dtype)
+        drh_ref[gi] = dq_aug[:, d:d + k_h].astype(drh_ref.dtype)
+        drw_ref[gi] = dq_aug[:, d + k_h:].astype(drw_ref.dtype)
+        dk_ref[gi] += dk_aug[:, :d]
+        dv_ref[gi] += dv_c
 
 
 def _rel_bwd(scale, k_hw, block_q, interpret, residuals, g):
-    """Backward over the REAL keys only: padded keys have p = 0, so every
-    einsum runs on the n_real slice and the dense −inf bias tensor is never
-    built. The reshape-based bias add fuses in XLA (outside Mosaic)."""
-    q, k, v, rel_h, rel_w = residuals
+    q, k, v, rel_h, rel_w, out = residuals
     k_h, k_w = k_hw
     n_real = k_h * k_w
-    bh, n_pad, d = q.shape
-    q32 = q.astype(jnp.float32)
-    k32 = k[:, :n_real].astype(jnp.float32)
-    v32 = v[:, :n_real].astype(jnp.float32)
-    g32 = g.astype(jnp.float32)
-    s = jnp.einsum("bqd,bkd->bqk", q32 * scale, k32)  # (BH, N_pad, n_real)
-    s = s.reshape(bh, n_pad, k_h, k_w)
-    s = s + rel_h.astype(jnp.float32)[:, :, :, None]
-    s = s + rel_w.astype(jnp.float32)[:, :, None, :]
-    p = jax.nn.softmax(s.reshape(bh, n_pad, n_real), axis=-1)
-    dv = jnp.einsum("bqk,bqd->bkd", p, g32)
-    dp = jnp.einsum("bqd,bkd->bqk", g32, v32)
-    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
-    dq = jnp.einsum("bqk,bkd->bqd", ds, k32) * scale
-    dk = jnp.einsum("bqk,bqd->bkd", ds, q32) * scale
-    ds_real = ds.reshape(bh, n_pad, k_h, k_w)
-    drel_h = jnp.sum(ds_real, axis=3)
-    drel_w = jnp.sum(ds_real, axis=2)
-    pad = n_pad - n_real
-    if pad:
-        dk = jnp.pad(dk, ((0, 0), (0, pad), (0, 0)))
-        dv = jnp.pad(dv, ((0, 0), (0, pad), (0, 0)))
-    return (
-        dq.astype(q.dtype),
-        dk.astype(k.dtype),
-        dv.astype(v.dtype),
-        drel_h.astype(rel_h.dtype),
-        drel_w.astype(rel_w.dtype),
-    )
+    bh, n, d = q.shape
+    if block_q is None:
+        block_q = _pick_block_q(pad_for_attention(n, 128))
+    n_blocks = pl.cdiv(n, block_q)
+    n_kblk = n_blocks * block_q
+    block_g = _pick_group(bh, n_kblk, block_q, d, k_h + k_w,
+                          jnp.dtype(q.dtype).itemsize, bwd=True)
+    grid = (bh // block_g, n_blocks)
+    dq, dk, dv, drh, drw = pl.pallas_call(
+        functools.partial(
+            _rel_bwd_kernel, scale=scale, k_h=k_h, k_w=k_w, n_real=n_real
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n, k_h), rel_h.dtype),
+            jax.ShapeDtypeStruct((bh, n, k_w), rel_w.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_g, block_q, d), lambda b, i: (b, i, 0)),    # q
+            pl.BlockSpec((block_g, n_kblk, d), lambda b, i: (b, 0, 0)),     # k
+            pl.BlockSpec((block_g, n_kblk, d), lambda b, i: (b, 0, 0)),     # v
+            pl.BlockSpec((block_g, block_q, k_h), lambda b, i: (b, i, 0)),  # rel_h
+            pl.BlockSpec((block_g, block_q, k_w), lambda b, i: (b, i, 0)),  # rel_w
+            pl.BlockSpec((block_g, block_q, d), lambda b, i: (b, i, 0)),    # out
+            pl.BlockSpec((block_g, block_q, d), lambda b, i: (b, i, 0)),    # g
+        ],
+        out_specs=(
+            pl.BlockSpec((block_g, block_q, d), lambda b, i: (b, i, 0)),    # dq
+            pl.BlockSpec((block_g, n_kblk, d), lambda b, i: (b, 0, 0)),     # dk (accum)
+            pl.BlockSpec((block_g, n_kblk, d), lambda b, i: (b, 0, 0)),     # dv (accum)
+            pl.BlockSpec((block_g, block_q, k_h), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((block_g, block_q, k_w), lambda b, i: (b, i, 0)),
+        ),
+        interpret=interpret,
+    )(q, k, v, rel_h, rel_w, out, g)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), drh, drw
 
 
 fused_attention_rel.defvjp(_rel_fwd, _rel_bwd)
 
 
-def attention_rel_with_padding(q, k, v, rel_h, rel_w, scale, k_hw, block_q=128):
-    """Pad the token axis to the q-block size, run the decomposed-bias fused
-    kernel, slice back."""
-    bh, n, d = q.shape
-    np_ = pad_for_attention(n, block_q)
+def attention_rel_with_padding(q, k, v, rel_h, rel_w, scale, k_hw, block_q=None):
+    """Run the decomposed-bias fused kernel directly on the UNPADDED token
+    axis — out-of-bounds block rows are masked in-kernel and out-of-bounds
+    writes dropped, so no HBM pad/slice round trips happen. ``block_q=None``
+    auto-selects the block size. (The name is kept for API stability from
+    when this wrapper padded in HBM.)"""
     interpret = jax.default_backend() != "tpu"
-    if np_ != n:
-        pad = np_ - n
-        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
-        rel_h = jnp.pad(rel_h, ((0, 0), (0, pad), (0, 0)))
-        rel_w = jnp.pad(rel_w, ((0, 0), (0, pad), (0, 0)))
-    out = fused_attention_rel(q, k, v, rel_h, rel_w, scale, k_hw, block_q, interpret)
-    return out[:, :n]
+    return fused_attention_rel(q, k, v, rel_h, rel_w, scale, k_hw, block_q, interpret)

@@ -111,3 +111,36 @@ def test_fused_rel_attention_gradients(rng):
     gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, rel_h, rel_w)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_fused_rel_attention_gradients_unaligned(rng):
+    """SAM window shape: n=196 not block-aligned — exercises the in-kernel
+    OOB masking of the no-HBM-padding path (fwd + all five grads)."""
+    from mia_tpu.ops.attention import fused_attention_rel
+
+    bh, k_h, k_w, d = 2, 14, 14, 8
+    n = k_h * k_w  # 196 -> one partial 256-block
+    q = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((bh, n, d)), jnp.float32)
+    rel_h = jnp.asarray(rng.standard_normal((bh, n, k_h)), jnp.float32) * 0.2
+    rel_w = jnp.asarray(rng.standard_normal((bh, n, k_w)), jnp.float32) * 0.2
+
+    def loss_fused(q, k, v, rh, rw):
+        return jnp.sum(fused_attention_rel(q, k, v, rh, rw, 0.25, (k_h, k_w), None, True) ** 2)
+
+    def loss_ref(q, k, v, rh, rw):
+        bias = (rh[:, :, :, None] + rw[:, :, None, :]).reshape(bh, n, n)
+        return jnp.sum(_reference(q, k, v, bias, 0.25) ** 2)
+
+    out = fused_attention_rel(q, k, v, rel_h, rel_w, 0.25, (k_h, k_w), None, True)
+    bias = (rel_h[:, :, :, None] + rel_w[:, :, None, :]).reshape(bh, n, n)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_reference(q, k, v, bias, 0.25)),
+        rtol=1e-4, atol=1e-5,
+    )
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(q, k, v, rel_h, rel_w)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, rel_h, rel_w)
+    for a, b in zip(gf, gr):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
