@@ -53,6 +53,7 @@ class DemoSession:
         loaded_feature_only: bool = False,
         model_ckpt: str | Path | None = None,
         image_size: int = IMAGE_SIZE,
+        feature_provider=None,
     ):
         self.data_dir = Path(data_dir)
         self.budget = budget
@@ -67,6 +68,11 @@ class DemoSession:
         self.selected_set: list = []
         self.annotated_set: list = []
         self.feature_dict: dict | None = None
+        # pluggable foundation-feature provider: callable(dataset) ->
+        # {case_name: feature vector}. None -> BiomedCLIP when open_clip is
+        # importable (reference serve.py:48-104), else the specialist UNet
+        # encoder features.
+        self.feature_provider = feature_provider
         self.current_dataset = "dataset"
 
         cfg = UNetConfig(
@@ -128,48 +134,27 @@ class DemoSession:
         return np.asarray(self._predict(self.variables, x))
 
     # -- features / selection ---------------------------------------------
-    def _foundation_features(self, active_dataset: ActiveDataset) -> dict:
+    def _default_provider(self):
         try:  # BiomedCLIP (absent in this image → specialist fallback)
             from open_clip import create_model_from_pretrained  # noqa: F401
 
-            return self._biomedclip_features(active_dataset)
+            return biomedclip_feature_provider()
         except Exception:
-            scorer = ModelScorer(self.model, _ScorerState(self.variables))
-            from mia_tpu.activelearning.scorers import sweep_pool
+            return specialist_feature_provider(
+                self.model, self.variables, self.batch_size
+            )
 
-            feature_dict = {}
-            for ds in (
-                active_dataset.get_train_dataset(),
-                active_dataset.get_pool_dataset(),
-            ):
-                if len(ds) == 0:
-                    continue
-                feats, names = sweep_pool(ds, self.batch_size, scorer.enc_feature)
-                for name, feat in zip(names, feats):
-                    feature_dict[name] = feat
-            return feature_dict
-
-    def _biomedclip_features(self, active_dataset):  # pragma: no cover
-        from open_clip import create_model_from_pretrained
-
-        model, preprocess = create_model_from_pretrained(
-            "hf-hub:microsoft/biomedclip-pubmedbert_256-vit_base_patch16_224"
-        )
-        import torch
-
+    def _foundation_features(self, active_dataset: ActiveDataset) -> dict:
+        provider = self.feature_provider
+        if provider is None:
+            provider = self.feature_provider = self._default_provider()
         feature_dict = {}
         for ds in (
             active_dataset.get_train_dataset(),
             active_dataset.get_pool_dataset(),
         ):
-            for i in range(len(ds)):
-                sample = ds.get_sample(i)
-                img = Image.fromarray(
-                    (sample["image"][..., 0] * 255).astype(np.uint8)
-                ).convert("RGB")
-                with torch.no_grad():
-                    feat = model.encode_image(preprocess(img)[None])
-                feature_dict[sample["case_name"]] = feat[0].numpy()
+            if len(ds):
+                feature_dict.update(provider(ds))
         return feature_dict
 
     def active_select(self) -> list:
@@ -383,3 +368,48 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# foundation-feature providers (injectable into DemoSession)
+# ---------------------------------------------------------------------------
+
+
+def specialist_feature_provider(model, variables, batch_size: int = 4):
+    """Provider backed by the specialist UNet's encoder-GAP features."""
+    scorer = ModelScorer(model, _ScorerState(variables))
+
+    def provider(dataset) -> dict:
+        from mia_tpu.activelearning.scorers import sweep_pool
+
+        feats, names = sweep_pool(dataset, batch_size, scorer.enc_feature)
+        return dict(zip(names, feats))
+
+    return provider
+
+
+def biomedclip_feature_provider(
+    model_name: str = "hf-hub:microsoft/biomedclip-pubmedbert_256-vit_base_patch16_224",
+):  # pragma: no cover - open_clip absent in this image
+    """BiomedCLIP image-embedding provider (reference ``serve.py:48-104``).
+
+    Requires ``open_clip``; raises ImportError otherwise so the caller can
+    fall back."""
+    import torch
+    from open_clip import create_model_from_pretrained
+
+    model, preprocess = create_model_from_pretrained(model_name)
+
+    def provider(dataset) -> dict:
+        feature_dict = {}
+        for i in range(len(dataset)):
+            sample = dataset.get_sample(i)
+            img = Image.fromarray(
+                (sample["image"][..., 0] * 255).astype(np.uint8)
+            ).convert("RGB")
+            with torch.no_grad():
+                feat = model.encode_image(preprocess(img)[None])
+            feature_dict[sample["case_name"]] = feat[0].numpy()
+        return feature_dict
+
+    return provider

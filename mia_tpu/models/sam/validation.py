@@ -4,8 +4,9 @@
 A volume becomes one batched slice-stack forward (the reference's own
 batching trick), decoder softmaxes are ensembled on device, and the
 per-class (dice, hd95) / (dice, hd, asd, jc) metrics run as jitted programs
-(``mia_tpu.metrics``). NIfTI outputs are replaced by ``.npy`` volumes
-(SimpleITK is absent in this image); prediction/overlay PNG dumps match the
+(``mia_tpu.metrics``). NIfTI I/O (raw-case spacing reads, prediction
+volume dumps, ``validation.py:468-493``) runs on the dependency-free codec
+in ``mia_tpu.utils.nifti``; prediction/overlay PNG dumps match the
 reference layout.
 """
 
@@ -124,6 +125,15 @@ def test_single_volume_mean(
 
     pred, _ = _forward_volume(apply_fn, image, patch_size)
 
+    if raw_spacing is None and case is not None and data_path is not None:
+        # reference reads the raw case NIfTI for its true spacing and
+        # reverses it to (z, y, x) (``validation.py:468-475``)
+        raw_case = Path(data_path) / "ACDC_raw" / f"{case}.nii.gz"
+        if raw_case.is_file():
+            from ...utils.nifti import read_nifti
+
+            _, sp_xyz = read_nifti(raw_case)
+            raw_spacing = sp_xyz[::-1]
     if raw_spacing is None:
         raw_spacing = (1.0, 1.0, 1.0)
     sp = tuple(float(s) for s in raw_spacing)
@@ -136,9 +146,17 @@ def test_single_volume_mean(
         metric_list.append((float(dice), float(hd), float(asd), float(jc)))
 
     if test_save_path is not None and case is not None:
+        from ...utils.nifti import write_nifti
+
         test_save_path = Path(test_save_path)
         test_save_path.mkdir(parents=True, exist_ok=True)
-        np.save(test_save_path / f"{case}_pred.npy", pred.astype(np.float32))
+        # float32 prediction volume with (1, 1, z_spacing) voxel spacing,
+        # matching the reference's sitk.WriteImage (``validation.py:485-493``)
+        write_nifti(
+            test_save_path / f"{case}_pred.nii.gz",
+            pred.astype(np.float32),
+            (1.0, 1.0, float(z_spacing)),
+        )
 
         result_path = test_save_path / str(case)
         label_path = result_path / "label"

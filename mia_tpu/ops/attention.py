@@ -212,7 +212,7 @@ def _pick_block_q(n_pad: int) -> int:
 
 def _pick_group(bh: int, n_pad: int, block_q: int, d: int, ka: int,
                 itemsize: int, bwd: bool,
-                budget_bytes: int = 6 * 2**20) -> int:
+                budget_bytes: int = 12 * 2**20) -> int:
     """Largest divisor of bh ≤ 16 whose per-cell VMEM footprint fits the
     budget (16 MB VMEM total; leave headroom for Mosaic's own buffers).
 
@@ -220,14 +220,15 @@ def _pick_group(bh: int, n_pad: int, block_q: int, d: int, ka: int,
     the live fp32 score-sized buffers (2 fwd: s, p; 4 bwd: s, p, dp, ds),
     the in-kernel q_aug/k_aug concat copies, and (bwd) the fp32 dk/dv
     accumulators."""
-    score_f32 = (4 if bwd else 2) * block_q * n_pad * 4
+    score_f32 = (3 if bwd else 2) * block_q * n_pad * 4
     n_q_streams = 3 if bwd else 1  # q[,o,g]
     ins = 2 * itemsize * (
         n_q_streams * block_q * d + 2 * n_pad * d + block_q * ka
     )
     concats = itemsize * (block_q + n_pad) * (d + ka)
     if bwd:
-        outs = 2 * (block_q * (d + ka) * itemsize + 2 * n_pad * d * 4)
+        # dk/dv fp32 accumulators revisit the same block (no double buffer)
+        outs = 2 * block_q * (d + ka) * itemsize + 2 * n_pad * d * 4
     else:
         outs = 2 * block_q * d * itemsize
     per_g = score_f32 + ins + concats + outs
@@ -450,3 +451,274 @@ def attention_rel_with_padding(q, k, v, rel_h, rel_w, scale, k_hw, block_q=None)
     when this wrapper padded in HBM.)"""
     interpret = jax.default_backend() != "tpu"
     return fused_attention_rel(q, k, v, rel_h, rel_w, scale, k_hw, block_q, interpret)
+
+
+# ---------------------------------------------------------------------------
+# packed-layout variant: q/k/v are read straight out of the qkv Dense output
+# (B, N, 3·H·D) via lane-sliced BlockSpecs (the same buffer is passed three
+# times with different index maps), and the context is written as
+# (B, N, H·D) — the proj Dense's input layout. This removes the four
+# head-major transpose copies per attention layer that dominated the
+# XLA-side profile (9.6 ms fwd / 19.4 ms bwd of `copy` at ViT-B/512 b8).
+# ---------------------------------------------------------------------------
+
+
+def _attn_rel_packed_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
+                            scale: float, k_h: int, k_w: int, n_real: int,
+                            d: int):
+    """Like ``_attn_rel_kernel`` but q/k/v blocks carry G heads on the LANE
+    axis ((BQ, G·D) / (N_kblk, G·D)); rel blocks stay head-major (G, BQ, k)."""
+    gd = q_ref.shape[2]
+    g_size = gd // d
+    n_pad = k_ref.shape[1]
+    e_h_t, e_w_t = _onehot_expanders_t(k_h, k_w, n_pad, n_real, q_ref.dtype)
+    scale_lo = jnp.asarray(scale, q_ref.dtype)
+    padded = n_pad > n_real
+    if padded:
+        kmask = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0) < n_real
+    for gi in range(g_size):
+        sl = slice(gi * d, (gi + 1) * d)
+        v = v_ref[0, :, sl]
+        q_aug = jnp.concatenate(
+            [q_ref[0, :, sl] * scale_lo, rh_ref[gi], rw_ref[gi]], axis=1
+        )
+        k_aug = jnp.concatenate([k_ref[0, :, sl], e_h_t, e_w_t], axis=1)
+        bq = q_aug.shape[0]
+        s = jax.lax.dot_general(
+            q_aug, k_aug, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if padded:
+            col = jax.lax.broadcasted_iota(jnp.int32, (bq, n_pad), 1)
+            s = jnp.where(col < n_real, s, _NEG_INF)
+            v = jnp.where(kmask, v, 0)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            (p / denom).astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+def _packed_layout(b, n, num_heads, d, block_q, bwd, interpret=False):
+    """Shared grid/spec builder for the packed kernels."""
+    # joint (block_q, group) selection: the lane axis of q/k/v blocks is
+    # G·D, which Mosaic requires to be a multiple of 128, and the VMEM
+    # footprint must fit; prefer the largest block_q, then the largest G.
+    choice = None
+    for bq_cand in (block_q, block_q // 2, block_q // 4):
+        if bq_cand < 64:
+            continue
+        cap = _pick_group(num_heads, pl.cdiv(n, bq_cand) * bq_cand,
+                          bq_cand, d, 0, 2, bwd=bwd)
+        for g_cand in range(min(cap, num_heads), 0, -1):
+            if num_heads % g_cand == 0 and (
+                interpret or (g_cand * d) % 128 == 0
+            ):
+                choice = (bq_cand, g_cand)
+                break
+        if choice:
+            break
+    if choice is None:
+        raise ValueError(
+            f"no packed-layout tiling for heads={num_heads}, d={d} "
+            "(need a head group G with G*D % 128 == 0 fitting VMEM)"
+        )
+    block_q, block_g = choice
+    n_blocks = pl.cdiv(n, block_q)
+    n_kblk = n_blocks * block_q
+    grid = (b, num_heads // block_g, n_blocks)
+    gd = block_g * d
+    q_spec = pl.BlockSpec((1, block_q, gd), lambda b, g, i: (b, i, g))
+    k_spec = pl.BlockSpec(
+        (1, n_kblk, gd),
+        lambda b, g, i, _h=num_heads // block_g: (b, 0, _h + g),
+    )
+    v_spec = pl.BlockSpec(
+        (1, n_kblk, gd),
+        lambda b, g, i, _h=num_heads // block_g: (b, 0, 2 * _h + g),
+    )
+    def rh_spec(kdim):
+        # head-major (B·H, N, kdim); dim-0 block of G heads for batch b,
+        # head-group g sits at block index b·(H/G) + g
+        return pl.BlockSpec(
+            (block_g, block_q, kdim),
+            lambda b, g, i, _h=num_heads // block_g: (b * _h + g, i, 0),
+        )
+
+    return grid, block_q, block_g, n_kblk, q_spec, k_spec, v_spec, rh_spec
+
+
+def _fused_rel_packed_fwd_impl(qkv, rel_h, rel_w, scale, k_hw, num_heads,
+                               block_q, interpret):
+    b, n, three_hd = qkv.shape
+    k_h, k_w = k_hw
+    if n != k_h * k_w:
+        raise ValueError(f"token count {n} != k_h*k_w {k_h * k_w}")
+    d = three_hd // (3 * num_heads)
+    if block_q is None:
+        block_q = _pick_block_q(pad_for_attention(n, 128))
+    grid, block_q, block_g, n_kblk, q_spec, k_spec, v_spec, rh_spec = _packed_layout(
+        b, n, num_heads, d, block_q, bwd=False, interpret=interpret
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _attn_rel_packed_kernel,
+            scale=scale, k_h=k_h, k_w=k_w, n_real=n, d=d,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, num_heads * d), qkv.dtype),
+        grid=grid,
+        in_specs=[q_spec, k_spec, v_spec, rh_spec(k_h), rh_spec(k_w)],
+        out_specs=pl.BlockSpec(
+            (1, block_q, block_g * d), lambda b, g, i: (b, i, g)
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, rel_h, rel_w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def fused_attention_rel_packed(qkv, rel_h, rel_w, scale, k_hw, num_heads,
+                               block_q=None, interpret=False):
+    """softmax(q·kᵀ·scale + rel_h⊕rel_w)·v reading q/k/v from the packed
+    ``qkv`` Dense output (B, N, 3·H·D) without any transpose; rel terms are
+    head-major (B·H, N, k). Returns the context in (B, N, H·D)."""
+    return _fused_rel_packed_fwd_impl(
+        qkv, rel_h, rel_w, scale, k_hw, num_heads, block_q, interpret
+    )
+
+
+def _rel_packed_fwd(qkv, rel_h, rel_w, scale, k_hw, num_heads, block_q, interpret):
+    out = _fused_rel_packed_fwd_impl(
+        qkv, rel_h, rel_w, scale, k_hw, num_heads, block_q, interpret
+    )
+    return out, (qkv, rel_h, rel_w, out)
+
+
+def _rel_packed_bwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, g_ref,
+                           dq_ref, dk_ref, dv_ref, drh_ref, drw_ref, *,
+                           scale: float, k_h: int, k_w: int, n_real: int,
+                           d: int):
+    gd = q_ref.shape[2]
+    g_size = gd // d
+    n_pad = k_ref.shape[1]
+    e_h_t, e_w_t = _onehot_expanders_t(k_h, k_w, n_pad, n_real, q_ref.dtype)
+    scale_lo = jnp.asarray(scale, q_ref.dtype)
+    padded = n_pad > n_real
+    if padded:
+        kmask = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0) < n_real
+        bq0 = q_ref.shape[1]
+        qrow = (
+            jax.lax.broadcasted_iota(jnp.int32, (bq0, 1), 0)
+            + pl.program_id(2) * bq0
+        )
+        qmask = qrow < n_real
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    for gi in range(g_size):
+        sl = slice(gi * d, (gi + 1) * d)
+        v = v_ref[0, :, sl]
+        g = g_ref[0, :, sl]
+        o = o_ref[0, :, sl]
+        q_aug = jnp.concatenate(
+            [q_ref[0, :, sl] * scale_lo, rh_ref[gi], rw_ref[gi]], axis=1
+        )
+        k_aug = jnp.concatenate([k_ref[0, :, sl], e_h_t, e_w_t], axis=1)
+        if padded:
+            v = jnp.where(kmask, v, 0)
+            g = jnp.where(qmask, g, 0)
+            q_aug = jnp.where(qmask, q_aug, 0)
+            k_aug = jnp.where(kmask, k_aug, 0)
+        bq = q_aug.shape[0]
+
+        s = jax.lax.dot_general(
+            q_aug, k_aug, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if padded:
+            col = jax.lax.broadcasted_iota(jnp.int32, (bq, n_pad), 1)
+            s = jnp.where(col < n_real, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        if padded:
+            p = jnp.where(qmask, p, 0.0)
+
+        delta = jnp.sum(
+            g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
+        )
+        if padded:
+            delta = jnp.where(qmask, delta, 0.0)
+
+        p_lo = p.astype(v.dtype)
+        dv_c = jax.lax.dot_general(
+            p_lo, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        ds_lo = ds.astype(q_aug.dtype)
+        dq_aug = jax.lax.dot_general(
+            ds_lo, k_aug, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_aug = jax.lax.dot_general(
+            ds_lo, q_aug, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, :, sl] = (dq_aug[:, :d] * scale).astype(dq_ref.dtype)
+        drh_ref[gi] = dq_aug[:, d:d + k_h].astype(drh_ref.dtype)
+        drw_ref[gi] = dq_aug[:, d + k_h:].astype(drw_ref.dtype)
+        dk_ref[0, :, sl] += dk_aug[:, :d]
+        dv_ref[0, :, sl] += dv_c
+
+
+def _rel_packed_bwd(scale, k_hw, num_heads, block_q, interpret, residuals, g):
+    qkv, rel_h, rel_w, out = residuals
+    b, n, three_hd = qkv.shape
+    k_h, k_w = k_hw
+    d = three_hd // (3 * num_heads)
+    hd = num_heads * d
+    if block_q is None:
+        block_q = _pick_block_q(pad_for_attention(n, 128))
+    grid, block_q, block_g, n_kblk, q_spec, k_spec, v_spec, rh_spec = _packed_layout(
+        b, n, num_heads, d, block_q, bwd=True, interpret=interpret
+    )
+    oi_spec = pl.BlockSpec((1, block_q, block_g * d), lambda b, g, i: (b, i, g))
+    acc_spec = pl.BlockSpec((1, n_kblk, block_g * d), lambda b, g, i: (b, 0, g))
+    dq, dk, dv, drh, drw = pl.pallas_call(
+        functools.partial(
+            _rel_packed_bwd_kernel,
+            scale=scale, k_h=k_h, k_w=k_w, n_real=n, d=d,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, hd), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b * num_heads, n, k_h), rel_h.dtype),
+            jax.ShapeDtypeStruct((b * num_heads, n, k_w), rel_w.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            q_spec, k_spec, v_spec, rh_spec(k_h), rh_spec(k_w),
+            oi_spec, oi_spec,
+        ],
+        out_specs=(oi_spec, acc_spec, acc_spec, rh_spec(k_h), rh_spec(k_w)),
+        interpret=interpret,
+    )(qkv, qkv, qkv, rel_h, rel_w, out, g)
+    dqkv = jnp.concatenate(
+        [dq, dk.astype(qkv.dtype), dv.astype(qkv.dtype)], axis=-1
+    )
+    return dqkv, drh, drw
+
+
+fused_attention_rel_packed.defvjp(_rel_packed_fwd, _rel_packed_bwd)

@@ -592,7 +592,7 @@ class ALTrainer(BaseTrainer):
         apply = jax.jit(recipe.apply)
         ds = self.active_dataset.pool_dataset
         for i in range(num):
-            sample = ds.get_sample(i % min(2, len(ds)))
+            sample = ds.get_sample(i % len(ds))  # 50 DISTINCT samples (ref :1025-1036)
             key = jax.random.fold_in(self.root_key, 10_000 + i)
             img, lbl = apply(
                 key, jnp.asarray(sample["image"]), jnp.asarray(sample["label"])

@@ -240,7 +240,15 @@ class CPCSAMTrainer(BaseTrainer):
         self.config_path = config_path
         self.log_mode = log_mode
         self.log_override = log_override
-        self.use_wandb = False  # gated: wandb optional
+        try:
+            import wandb as _wandb  # noqa: F401
+
+            _has_wandb = True
+        except Exception:  # pragma: no cover - wandb absent in this image
+            _has_wandb = False
+        self.use_wandb = bool(use_wandb) and _has_wandb
+        self.wandb_api_key = wandb_api_key
+        self.wandb_runner = None  # injected/inited lazily; alerts no-op without it
         self.mesh = mesh
         self.root_key = jax.random.PRNGKey(self.config.seed)
         np.random.seed(self.config.seed)
@@ -789,9 +797,47 @@ class CPCSAMTrainer(BaseTrainer):
             self._best_valid_metric = self._cur_valid_metric
             self.save_state_dict(self.work_path / "best_model")
             self.current_patience = 0
+            # wandb alert parity (reference cpcsam_trainer.py:1029-1049)
+            text_lines = [
+                f"iter={self.current_iter}",
+                f"epoch={self.current_epoch}",
+                f"metric={self._best_valid_metric:.4f}",
+                "dsc=[" + ", ".join(f"{x:.4f}" for x in per_cls[:, 0].tolist()) + "]",
+                f"average_dsc={avg_dsc:.4f}",
+                "hd95=[" + ", ".join(f"{x:.4f}" for x in per_cls[:, 1].tolist()) + "]",
+                f"average_hd95={avg_hd95:.4f}",
+            ]
+            self._wandb_alert(
+                title="Improved Performance",
+                text="; ".join(text_lines),
+                level="INFO",
+            )
         else:
             self.current_patience += 1
+            # stagnation alert at half the early-stop patience
+            # (reference cpcsam_trainer.py:1050-1059)
+            if self.config.early_stop_max_patience:
+                threshold = self.config.early_stop_max_patience * 0.5
+                if self.current_patience >= threshold:
+                    self._wandb_alert(
+                        title="Performance Stagnation",
+                        text=(
+                            "Performance is not improved for "
+                            f"{self.current_patience} step"
+                        ),
+                        level="WARN",
+                    )
         self.logger.info(f"current_patience: {self.current_patience}")
+
+    def _wandb_alert(self, title: str, text: str, level: str = "INFO"):
+        """Soft-fail wandb alert: no-ops without a runner, never raises
+        (alerting must not kill training)."""
+        if self.wandb_runner is None:
+            return
+        try:
+            self.wandb_runner.alert(title=title, text=text, level=level)
+        except Exception as exc:  # pragma: no cover
+            self.logger.warning(f"wandb alert failed: {exc}")
 
     def valid(self):
         if self.current_iter % self.config.valid_freq_iter == 0:

@@ -70,13 +70,17 @@ def make_optimizer(
 def create_train_state(
     model,
     rng: jax.Array,
-    sample_input: jnp.ndarray,
+    sample_input: jnp.ndarray | None,
     tx: optax.GradientTransformation,
+    variables: dict | None = None,
 ) -> TrainState:
-    init_rng, drop_rng = jax.random.split(rng)
-    variables = model.init(
-        {"params": init_rng, "dropout": drop_rng}, sample_input, train=False
-    )
+    """Build a TrainState; pass ``variables`` (e.g. from a torch-checkpoint
+    import) to skip the random init."""
+    if variables is None:
+        init_rng, drop_rng = jax.random.split(rng)
+        variables = model.init(
+            {"params": init_rng, "dropout": drop_rng}, sample_input, train=False
+        )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

@@ -144,3 +144,43 @@ def test_fused_rel_attention_gradients_unaligned(rng):
     for a, b in zip(gf, gr):
         assert np.isfinite(np.asarray(a)).all()
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_fused_rel_packed_matches_headmajor(rng):
+    """Packed (B, N, 3HD) kernel vs the head-major kernel and the dense-bias
+    einsum, fwd + grads, at an unaligned window shape."""
+    from mia_tpu.ops.attention import fused_attention_rel_packed
+
+    b, heads, k_h, k_w, d = 2, 3, 10, 12, 8
+    n = k_h * k_w  # 120, unaligned
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * heads * d)), jnp.float32)
+    rel_h = jnp.asarray(rng.standard_normal((b * heads, n, k_h)), jnp.float32) * 0.2
+    rel_w = jnp.asarray(rng.standard_normal((b * heads, n, k_w)), jnp.float32) * 0.2
+
+    def ref(qkv, rel_h, rel_w):
+        q3 = qkv.reshape(b, n, 3, heads, d)
+        q = q3[:, :, 0].transpose(0, 2, 1, 3).reshape(b * heads, n, d)
+        k = q3[:, :, 1].transpose(0, 2, 1, 3).reshape(b * heads, n, d)
+        v = q3[:, :, 2].transpose(0, 2, 1, 3).reshape(b * heads, n, d)
+        bias = (rel_h[:, :, :, None] + rel_w[:, :, None, :]).reshape(b * heads, n, n)
+        out = _reference(q, k, v, bias, 0.25)  # (BH, N, D)
+        return out.reshape(b, heads, n, d).transpose(0, 2, 1, 3).reshape(b, n, heads * d)
+
+    out = fused_attention_rel_packed(qkv, rel_h, rel_w, 0.25, (k_h, k_w), heads, None, True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref(qkv, rel_h, rel_w)), rtol=1e-4, atol=1e-5
+    )
+
+    def loss_f(qkv, rh, rw):
+        return jnp.sum(
+            fused_attention_rel_packed(qkv, rh, rw, 0.25, (k_h, k_w), heads, None, True) ** 2
+        )
+
+    def loss_r(qkv, rh, rw):
+        return jnp.sum(ref(qkv, rh, rw) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(qkv, rel_h, rel_w)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(qkv, rel_h, rel_w)
+    for a, b_ in zip(gf, gr):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4)

@@ -199,3 +199,63 @@ def test_cpcsam_step_sharded(tmp_path):
     finally:
         bs._VIT_SPECS["vit_b"] = orig
         ct.PATIENTS_TO_SLICES["ACDC"]["1"] = 32
+
+
+def test_wandb_alerts_on_improvement_and_stagnation():
+    """Alert parity with the reference's live wandb block
+    (cpcsam_trainer.py:1029-1059), driven through on_valid_epoch_end with a
+    stub runner."""
+    import logging
+
+    import numpy as np
+
+    from mia_tpu.training.cpcsam_trainer import CPCSAMConfig, CPCSAMTrainer
+
+    trainer = CPCSAMTrainer.__new__(CPCSAMTrainer)
+    trainer.config = CPCSAMConfig(early_stop_max_patience=4)
+    trainer.config.maximum_save_metric = True
+    trainer.logger = logging.getLogger("test_cpcsam_alerts")
+    trainer.current_iter = 7
+    trainer.current_epoch = 1
+    trainer.current_patience = 0
+    trainer._best_valid_metric = 0.5
+    trainer.work_path = __import__("pathlib").Path("/tmp/cpcsam_alert_test")
+    trainer.save_state_dict = lambda *a, **k: None
+
+    alerts = []
+
+    class StubRunner:
+        def alert(self, title, text, level):
+            alerts.append((title, text, level))
+
+    trainer.wandb_runner = StubRunner()
+
+    # improvement -> INFO alert with the metric text
+    trainer.epoch_valid_outputs = [
+        {"metric": np.array([[0.9, 3.0], [0.8, 4.0]]), "loss": 0.1}
+    ]
+    trainer.on_valid_epoch_end()
+    assert alerts and alerts[-1][0] == "Improved Performance"
+    assert "average_dsc=0.8500" in alerts[-1][1]
+    assert alerts[-1][2] == "INFO"
+
+    # stagnation: patience crosses half of early_stop_max_patience -> WARN
+    trainer.epoch_valid_outputs = [
+        {"metric": np.array([[0.1, 30.0], [0.1, 30.0]]), "loss": 0.9}
+    ]
+    trainer.on_valid_epoch_end()  # patience 1 < 2, no alert
+    n_alerts = len(alerts)
+    trainer.on_valid_epoch_end()  # patience 2 >= 2 -> WARN
+    assert len(alerts) == n_alerts + 1
+    assert alerts[-1] == (
+        "Performance Stagnation",
+        "Performance is not improved for 2 step",
+        "WARN",
+    )
+
+    # alerts must never raise without a runner
+    trainer.wandb_runner = None
+    trainer.epoch_valid_outputs = [
+        {"metric": np.array([[0.95, 2.0], [0.9, 2.5]]), "loss": 0.05}
+    ]
+    trainer.on_valid_epoch_end()

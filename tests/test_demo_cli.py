@@ -74,3 +74,35 @@ def test_cli_visualize(tmp_path, rng):
     main(["visualize", "-f", str(img), "-m", str(mask), "-o", str(out)])
     assert out.is_file()
     assert np.array(Image.open(out)).shape == (16, 16, 3)
+
+
+def test_demo_feature_provider_injection(tmp_path):
+    """A fake provider drops in for BiomedCLIP (reference serve.py:48-104):
+    active_select must consume ITS features."""
+    import numpy as np
+
+    from mia_tpu.entry.demo.serve import DemoSession
+
+    imgs = _make_images(tmp_path, n=6)
+
+    calls = []
+
+    frng = np.random.default_rng(0)
+
+    def fake_provider(dataset):
+        feats = {}
+        for i in range(len(dataset)):
+            s = dataset.get_sample(i)
+            feats[s["case_name"]] = frng.standard_normal(8).astype(np.float32)
+        calls.append(len(feats))
+        return feats
+
+    session = DemoSession(
+        data_dir=tmp_path, budget=2, image_size=32, feature_provider=fake_provider
+    )
+    session.train_set = imgs[:2]
+    session.pool_set = imgs[2:]
+    selected = session.active_select()
+    assert len(selected) == 2
+    assert calls, "injected provider was never called"
+    assert all(str(s) in [str(p) for p in imgs[2:]] for s in selected)

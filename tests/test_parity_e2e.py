@@ -1,0 +1,216 @@
+"""End-to-end Dice-parity harness vs the PyTorch reference stack.
+
+BASELINE.md's north-star claim is "bit-matched Dice vs the PyTorch
+reference". Round 1 proved per-kernel parity; this module proves it
+END-TO-END: the reference-architecture torch UNet (tests/torch_ref.py) and
+the flax UNet train from IDENTICAL initial weights, on identical batches in
+identical order, with the same Dice+CE loss (al_trainer.py:784-798
+semantics), poly-warmup LR, adam, and global-norm clip 10 — then the final
+validation Dice of the two runs must agree tightly, and both must have
+learned the task. Measured numbers are recorded in PARITY.md.
+
+fp32 on both sides; bit-exactness over hundreds of steps is not achievable
+across frameworks (different reduction orders), so parity is asserted as a
+tight band on the final metric plus a loss-curve correlation.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "tests")
+
+torch = pytest.importorskip("torch")
+
+from torch_ref import TorchUNet  # noqa: E402
+
+from mia_tpu.losses import DiceAndCELoss  # noqa: E402
+from mia_tpu.models.torch_port import import_torch_unet_checkpoint  # noqa: E402
+from mia_tpu.models.unet import UNet, UNetConfig  # noqa: E402
+from mia_tpu.schedule import poly_warmup_schedule  # noqa: E402
+from mia_tpu.training import create_train_state, make_optimizer, make_train_step  # noqa: E402
+
+CHANNELS = (8, 16, 32)
+CLASSES = 3
+SIZE = 32
+BATCH = 8
+STEPS = 150
+LR = 1e-3
+WARMUP = 20
+
+
+def _make_task(rng, n):
+    """Learnable blob segmentation: class = which quadrant-blob a pixel is in."""
+    images = np.zeros((n, SIZE, SIZE, 3), np.float32)
+    labels = np.zeros((n, SIZE, SIZE), np.int64)
+    yy, xx = np.mgrid[0:SIZE, 0:SIZE]
+    for i in range(n):
+        for c in (1, 2):
+            cy, cx = rng.uniform(6, SIZE - 6, 2)
+            r = rng.uniform(4, 8)
+            mask = (yy - cy) ** 2 + (xx - cx) ** 2 < r**2
+            labels[i][mask] = c
+            images[i, :, :, c - 1][mask] = 1.0
+        images[i] += rng.normal(0, 0.15, (SIZE, SIZE, 3)).astype(np.float32)
+    return images, labels
+
+
+def _torch_dice_ce(logits_nchw, targets):
+    """Mirror of mia_tpu.losses.DiceAndCELoss(0.5, 0.5) / soft_dice_loss
+    (smooth 1e-5, do_bg=True, per-sample dice, unsquared)."""
+    ce = torch.nn.functional.cross_entropy(logits_nchw, targets)
+    probs = torch.softmax(logits_nchw, 1)
+    onehot = (
+        torch.nn.functional.one_hot(targets, CLASSES).permute(0, 3, 1, 2).float()
+    )
+    intersect = (probs * onehot).sum((2, 3))
+    sum_p = probs.sum((2, 3))
+    sum_t = onehot.sum((2, 3))
+    dice = 1.0 - (2 * intersect + 1e-5) / (sum_p + sum_t + 1e-5)
+    return 0.5 * ce + 0.5 * dice.mean()
+
+
+def _dice_score(pred, label):
+    """Foreground-mean hard Dice (numpy; shared metric for both runs)."""
+    scores = []
+    for c in range(1, CLASSES):
+        p, t = pred == c, label == c
+        denom = p.sum() + t.sum()
+        scores.append(2.0 * (p & t).sum() / denom if denom else 1.0)
+    return float(np.mean(scores))
+
+
+@pytest.mark.slow
+def test_training_dice_parity_vs_torch(tmp_path):
+    rng = np.random.default_rng(42)
+    train_x, train_y = _make_task(rng, 64)
+    valid_x, valid_y = _make_task(rng, 16)
+    order = np.stack(
+        [np.random.default_rng(100 + s).permutation(64)[:BATCH] for s in range(STEPS)]
+    )
+
+    lr_fn = poly_warmup_schedule(LR, max_steps=STEPS, warmup_steps=WARMUP)
+
+    # --- torch run (reference semantics: scheduler writes lr per step,
+    # clip_grad_norm 10, adam) -------------------------------------------
+    torch.manual_seed(0)
+    tmodel = TorchUNet(3, CLASSES, list(CHANNELS), norm="batch", block="plain")
+    topt = torch.optim.Adam(tmodel.parameters(), lr=LR)
+    t_losses = []
+    tmodel.train()
+    for s in range(STEPS):
+        for g in topt.param_groups:
+            g["lr"] = float(lr_fn(s))
+        xb = torch.from_numpy(train_x[order[s]]).permute(0, 3, 1, 2)
+        yb = torch.from_numpy(train_y[order[s]])
+        topt.zero_grad()
+        loss = _torch_dice_ce(tmodel(xb), yb)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(tmodel.parameters(), 10.0)
+        topt.step()
+        t_losses.append(float(loss))
+    tmodel.eval()
+    with torch.no_grad():
+        tpred = (
+            tmodel(torch.from_numpy(valid_x).permute(0, 3, 1, 2))
+            .argmax(1)
+            .numpy()
+        )
+    torch_dice = _dice_score(tpred, valid_y)
+
+    # --- flax run from the SAME initial weights -------------------------
+    cfg = UNetConfig(
+        dimension=2,
+        in_channels=3,
+        out_classes=CLASSES,
+        channels_list=CHANNELS,
+        block_type="plain",
+        normalization="batch",
+        dropout_prob=None,
+    )
+    model = UNet(cfg)
+    torch.manual_seed(0)
+    init_model = TorchUNet(3, CLASSES, list(CHANNELS), norm="batch", block="plain")
+    variables = import_torch_unet_checkpoint(
+        init_model.state_dict(), num_levels=len(CHANNELS)
+    )
+    tx = make_optimizer("adam", lr_fn, grad_clip=10.0)
+    state = create_train_state(model, jax.random.PRNGKey(0), None, tx, variables=variables)
+    step = make_train_step(DiceAndCELoss(dice_weight=0.5, ce_weight=0.5), lr_fn)
+    j_losses = []
+    key = jax.random.PRNGKey(0)
+    for s in range(STEPS):
+        state, metrics = step(
+            state,
+            jnp.asarray(train_x[order[s]]),
+            jnp.asarray(train_y[order[s]], jnp.int32),
+            key,
+        )
+        j_losses.append(float(metrics["loss"]))
+    eval_vars = {"params": state.params}
+    if jax.tree_util.tree_leaves(state.batch_stats):
+        eval_vars["batch_stats"] = state.batch_stats
+    logits = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        eval_vars, jnp.asarray(valid_x)
+    )
+    jpred = np.asarray(jnp.argmax(logits, -1))
+    jax_dice = _dice_score(jpred, valid_y)
+
+    print(f"\nPARITY torch_dice={torch_dice:.4f} jax_dice={jax_dice:.4f}")
+    print(f"PARITY torch_loss_final={t_losses[-1]:.4f} jax_loss_final={j_losses[-1]:.4f}")
+
+    # both learned the task, and the end metrics agree tightly
+    assert torch_dice > 0.80 and jax_dice > 0.80
+    assert abs(torch_dice - jax_dice) < 0.02
+    # loss curves track each other (same trajectory, not just same endpoint)
+    corr = np.corrcoef(t_losses, j_losses)[0, 1]
+    assert corr > 0.99
+    assert abs(t_losses[-1] - j_losses[-1]) < 0.02
+
+
+def test_torch_ckpt_msgpack_roundtrip_predict_parity(tmp_path):
+    """torch .pth → flax import → msgpack round-trip → identical predictions
+    (BASELINE config #1 deployment path)."""
+    from flax import serialization
+
+    torch.manual_seed(1)
+    tmodel = TorchUNet(3, CLASSES, list(CHANNELS), norm="batch", block="plain")
+    torch.save(tmodel.state_dict(), tmp_path / "model.pth")
+
+    sd = torch.load(tmp_path / "model.pth", map_location="cpu")
+    variables = import_torch_unet_checkpoint(sd, num_levels=len(CHANNELS))
+    (tmp_path / "model.msgpack").write_bytes(serialization.to_bytes(variables))
+
+    restored = serialization.from_bytes(
+        variables, (tmp_path / "model.msgpack").read_bytes()
+    )
+
+    cfg = UNetConfig(
+        dimension=2,
+        in_channels=3,
+        out_classes=CLASSES,
+        channels_list=CHANNELS,
+        block_type="plain",
+        normalization="batch",
+        dropout_prob=None,
+    )
+    model = UNet(cfg)
+    x = np.random.default_rng(3).random((2, SIZE, SIZE, 3)).astype(np.float32)
+
+    logits_flax = model.apply(restored, jnp.asarray(x), train=False)
+    tmodel.eval()
+    with torch.no_grad():
+        logits_torch = (
+            tmodel(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+        )
+    np.testing.assert_allclose(
+        np.asarray(logits_flax), logits_torch, rtol=1e-3, atol=1e-4
+    )
+    assert (
+        np.asarray(jnp.argmax(logits_flax, -1))
+        == logits_torch.argmax(-1)
+    ).all()
