@@ -154,7 +154,10 @@ def bench_cpcsam_steps():
 
     out = {}
     for name, fn in (("phase1", trainer._step_phase1), ("phase2", trainer._step_phase2)):
-        params, opt_state, memory = trainer.params, trainer.opt_state, trainer.memory
+        # the step donates params/opt_state — give each phase its own copies
+        params, opt_state, memory = jax.tree.map(
+            jnp.copy, (trainer.params, trainer.opt_state, trainer.memory)
+        )
         key = jax.random.PRNGKey(0)
         for i in range(2):
             params, opt_state, memory, metrics = fn(

