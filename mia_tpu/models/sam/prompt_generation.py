@@ -99,20 +99,36 @@ def prompt_generate_random_fast(
     num_points_prompt: Tuple[int, int] = (1, 2),
     bbox_change_rate: Tuple[float, float] = (0.1, 0.2),
     israndom: bool = True,
+    compute_at_native: bool = False,
 ):
     """coarse_probs (B, h, w, C) → prompts at ``image_size`` resolution.
 
     Returns (points, points_random, fit_boxes, loose_boxes, mask_prompt)
     with points = (coords (B, P, 2), labels (B, P)), boxes =
     (coords (B, C-1, 2, 2), labels (B, C-1)), mask_prompt (B, Hm, Wm, 1).
+
+    Performance (documented deviation): by default the connected-components
+    / EDT / bbox machinery runs at the COARSE pseudo-label resolution and
+    the resulting coordinates are scaled into the ``image_size`` frame —
+    the reference upsamples the mask 4× first
+    (``sam_dualmask...py:513-519``), paying 16× the CC/EDT work for prompt
+    positions that are random-jittered anyway (measured: the upsampled CC
+    while-loops were 86% of the phase-2 train step). Point/box positions
+    agree with the native-resolution path up to the upsample factor
+    (≤ 4 px at 512), within the generator's own jitter. Pass
+    ``compute_at_native=True`` for the reference's exact positions.
     """
     b, h, w, num_class = coarse_probs.shape
     max_pts = num_points_prompt[1]
     total = num_class * max_pts
 
     pred = jnp.argmax(coarse_probs, axis=-1).astype(jnp.int32)
+    scale = 1.0
     if (h, w) != (image_size, image_size):
-        pred = resize(pred[..., None], (image_size, image_size), "nearest")[..., 0]
+        if compute_at_native:
+            pred = resize(pred[..., None], (image_size, image_size), "nearest")[..., 0]
+        else:
+            scale = image_size / h
 
     def one_image(rng, pred_i):
         keys = jax.random.split(rng, num_class * 4 + 1)
@@ -173,6 +189,24 @@ def prompt_generate_random_fast(
 
     keys = jax.random.split(rng, b)
     points, points_r, labels, fit, loose = jax.vmap(one_image)(keys, pred)
+
+    if scale != 1.0:
+        # coarse pixel (x, y) covers fine pixels [x·s, x·s+s): points map to
+        # the cell center, box corners to the cell's outer edges
+        s = jnp.float32(scale)
+        half = (s - 1.0) * 0.5
+        points = jnp.clip(jnp.floor(points * s + half), 0, image_size - 1)
+        points_r = jnp.clip(jnp.floor(points_r * s + half), 0, image_size - 1)
+
+        def scale_boxes(boxes):
+            lo = boxes[:, :, 0] * s
+            hi = boxes[:, :, 1] * s + (s - 1.0)
+            return jnp.clip(
+                jnp.stack([lo, hi], axis=2), 0, image_size - 1
+            )
+
+        fit = scale_boxes(fit)
+        loose = scale_boxes(loose)
 
     box_labels = jnp.zeros((b, num_class - 1), jnp.int32)  # reference bug parity
     mask_prompt = resize(

@@ -146,3 +146,35 @@ def test_lora_mask_and_state_dict():
     sd = traverse_util.flatten_dict(lora_state_dict(params))
     assert any(p[0] == "mask_decoder0" for p in sd)
     assert all(("lora" in "/".join(p)) for p in sd if p[0] == "image_encoder")
+
+
+def test_prompt_generation_coarse_matches_native_within_scale(rng):
+    """The coarse-resolution prompt path (default) must put points/boxes on
+    the same structures as the reference's native-resolution path, within
+    the upsample factor."""
+    probs = np.zeros((1, 16, 16, 3), np.float32)
+    probs[..., 0] = 1.0
+    probs[0, 3:9, 5:12, :] = 0.0
+    probs[0, 3:9, 5:12, 1] = 1.0
+    probs[0, 11:15, 2:7, :] = 0.0
+    probs[0, 11:15, 2:7, 2] = 1.0
+    s = 4  # image_size 64 from 16x16 coarse
+    key = jax.random.PRNGKey(3)
+    pts_c, _, fit_c, _, mp_c = prompt_generate_random_fast(
+        key, jnp.asarray(probs), 64, (16, 16), (1, 1), (0.0, 0.0)
+    )
+    pts_n, _, fit_n, _, mp_n = prompt_generate_random_fast(
+        key, jnp.asarray(probs), 64, (16, 16), (1, 1), (0.0, 0.0),
+        compute_at_native=True,
+    )
+    # identical mask prompt (nearest up-down cancels exactly)
+    np.testing.assert_array_equal(np.asarray(mp_c), np.asarray(mp_n))
+    # boxes: identical structures within one coarse cell
+    np.testing.assert_allclose(np.asarray(fit_c[0]), np.asarray(fit_n[0]), atol=s)
+    # points land inside the same class structures
+    coords, labels = np.asarray(pts_c[0][0]), np.asarray(pts_c[1][0])
+    for cls, (y0, y1, x0, x1) in ((1, (3, 9, 5, 12)), (2, (11, 15, 2, 7))):
+        p = coords[labels == cls]
+        assert len(p)
+        assert (p[:, 0] >= x0 * s).all() and (p[:, 0] < x1 * s).all()
+        assert (p[:, 1] >= y0 * s).all() and (p[:, 1] < y1 * s).all()
