@@ -100,6 +100,7 @@ def prompt_generate_random_fast(
     bbox_change_rate: Tuple[float, float] = (0.1, 0.2),
     israndom: bool = True,
     compute_at_native: bool = False,
+    max_compute_size: int = 128,
 ):
     """coarse_probs (B, h, w, C) → prompts at ``image_size`` resolution.
 
@@ -108,27 +109,29 @@ def prompt_generate_random_fast(
     (coords (B, C-1, 2, 2), labels (B, C-1)), mask_prompt (B, Hm, Wm, 1).
 
     Performance (documented deviation): by default the connected-components
-    / EDT / bbox machinery runs at the COARSE pseudo-label resolution and
-    the resulting coordinates are scaled into the ``image_size`` frame —
-    the reference upsamples the mask 4× first
-    (``sam_dualmask...py:513-519``), paying 16× the CC/EDT work for prompt
-    positions that are random-jittered anyway (measured: the upsampled CC
-    while-loops were 86% of the phase-2 train step). Point/box positions
-    agree with the native-resolution path up to the upsample factor
-    (≤ 4 px at 512), within the generator's own jitter. Pass
-    ``compute_at_native=True`` for the reference's exact positions.
+    / EDT / bbox machinery runs at a capped ``max_compute_size`` resolution
+    (nearest-downsampling the pseudo-label when needed) and the resulting
+    coordinates are scaled into the ``image_size`` frame. The reference
+    runs it at the full image size (``sam_dualmask...py:513-519``) — the
+    dual-mask decoders emit FULL-resolution pseudo-labels, so at 512² that
+    is 16× the CC/EDT work for prompt positions that are random-jittered
+    anyway (measured: those while-loops were 86% of the phase-2 train
+    step). Point/box positions agree with the native path up to the
+    downsample factor (≤ 4 px at 512), within the generator's own jitter.
+    Pass ``compute_at_native=True`` for the reference's exact positions.
     """
     b, h, w, num_class = coarse_probs.shape
     max_pts = num_points_prompt[1]
     total = num_class * max_pts
 
     pred = jnp.argmax(coarse_probs, axis=-1).astype(jnp.int32)
-    scale = 1.0
-    if (h, w) != (image_size, image_size):
-        if compute_at_native:
-            pred = resize(pred[..., None], (image_size, image_size), "nearest")[..., 0]
-        else:
-            scale = image_size / h
+    if compute_at_native:
+        compute = image_size
+    else:
+        compute = min(h, image_size, max_compute_size)
+    scale = image_size / compute
+    if (h, w) != (compute, compute):
+        pred = resize(pred[..., None], (compute, compute), "nearest")[..., 0]
 
     def one_image(rng, pred_i):
         keys = jax.random.split(rng, num_class * 4 + 1)

@@ -46,29 +46,24 @@ def _nearest_feature_distance_1d(feature: jnp.ndarray, spacing: float) -> jnp.nd
     """Per-position distance to the nearest feature along axis 0.
 
     ``feature`` is boolean with shape (N, ...); returns float32 distances
-    (BIG where a line has no features). Two lax.scan passes.
+    (BIG where a line has no features). Log-depth associative scans (a
+    sequential lax.scan here costs N device steps — the former
+    implementation dominated the CPC-SAM prompt-generation profile).
     """
     n = feature.shape[0]
     idx = jnp.arange(n, dtype=jnp.float32)
 
-    def fwd(carry, x):
-        feat, i = x
-        carry = jnp.where(feat, i, carry)
-        return carry, carry
-
-    def bwd(carry, x):
-        feat, i = x
-        carry = jnp.where(feat, i, carry)
-        return carry, carry
-
-    init = jnp.full(feature.shape[1:], -_BIG, dtype=jnp.float32)
     ii = jnp.broadcast_to(
         idx.reshape((n,) + (1,) * (feature.ndim - 1)), feature.shape
     )
-    _, last_fwd = lax.scan(fwd, init, (feature, ii))
-    init2 = jnp.full(feature.shape[1:], _BIG, dtype=jnp.float32)
-    _, last_bwd_rev = lax.scan(bwd, init2, (feature[::-1], ii[::-1]))
-    last_bwd = last_bwd_rev[::-1]
+    # last feature index at-or-before i = running max of (i if feat else -BIG)
+    last_fwd = lax.associative_scan(
+        jnp.maximum, jnp.where(feature, ii, -_BIG), axis=0
+    )
+    # first feature index at-or-after i = reversed running min of (+BIG fill)
+    last_bwd = lax.associative_scan(
+        jnp.minimum, jnp.where(feature, ii, _BIG), axis=0, reverse=True
+    )
 
     d_fwd = (ii - last_fwd) * spacing
     d_bwd = (last_bwd - ii) * spacing

@@ -73,11 +73,18 @@ def connected_components(
 ) -> jnp.ndarray:
     """Label connected components of a binary mask on device.
 
-    Iterative min-label propagation: every foreground pixel starts with its
-    linear index and repeatedly takes the minimum over its (4- or 8-)
-    neighborhood until a fixed point. Labels are arbitrary but unique per
-    component; background is -1. ``connectivity=2`` is 8-connectivity
-    (skimage default used by the reference).
+    Scan-based min-label propagation: every foreground pixel starts with
+    its linear index; each iteration sweeps labels along ENTIRE contiguous
+    foreground runs with segmented associative min-scans (rows and columns,
+    both directions, log-depth on the VPU — no gathers), plus one
+    roll-min for the diagonal links of 8-connectivity. Convergence takes
+    roughly one iteration per "turn" in the component geometry (2–4 for
+    blob-like masks) instead of one per pixel of geodesic diameter; a
+    pointer-jumping gather variant measured ~25× slower per step on TPU.
+
+    Labels converge to the minimum linear pixel index of each component;
+    background is -1. ``connectivity=2`` is 8-connectivity (skimage default
+    used by the reference).
     """
     h, w = mask.shape
     fg = mask > 0
@@ -85,38 +92,46 @@ def connected_components(
     lab = jnp.where(
         fg, jnp.arange(h * w, dtype=jnp.int32).reshape(h, w), big
     )
+    bg = ~fg
+
+    def seg_op(a, c):
+        # segmented running min: a boundary (background pixel) resets the run
+        av, ab = a
+        cv, cb = c
+        return jnp.where(cb, cv, jnp.minimum(av, cv)), ab | cb
+
+    def seg_scan(lab, axis, reverse):
+        res, _ = lax.associative_scan(
+            seg_op, (lab, bg), axis=axis, reverse=reverse
+        )
+        return res
 
     if connectivity == 2:
-        shifts = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+        diag_shifts = [(-1, -1), (-1, 1), (1, -1), (1, 1)]
     else:
-        shifts = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        diag_shifts = []
 
-    def propagate(lab):
-        best = lab
-        for dy, dx in shifts:
-            shifted = jnp.roll(lab, (dy, dx), axis=(0, 1))
+    def sweep(lab):
+        for axis in (1, 0):
+            lab = seg_scan(lab, axis, False)
+            lab = seg_scan(lab, axis, True)
+        # all diagonal mins read the SAME masked snapshot — sequential
+        # updates would let labels chain across background pixels
+        src = jnp.where(fg, lab, big)
+        best = src
+        for dy, dx in diag_shifts:
+            shifted = jnp.roll(src, (dy, dx), axis=(0, 1))
             # roll wraps around; invalidate wrapped rows/cols
             if dy == 1:
                 shifted = shifted.at[0, :].set(big)
-            elif dy == -1:
+            else:
                 shifted = shifted.at[-1, :].set(big)
             if dx == 1:
                 shifted = shifted.at[:, 0].set(big)
-            elif dx == -1:
+            else:
                 shifted = shifted.at[:, -1].set(big)
             best = jnp.minimum(best, shifted)
         return jnp.where(fg, best, big)
-
-    def compress(lab):
-        # Pointer jumping: labels are linear pixel indices, so follow the
-        # pointer chain lab <- lab[lab] for ~log-diameter convergence.
-        flat = lab.reshape(-1)
-        table = jnp.concatenate([flat, jnp.array([big], dtype=jnp.int32)])
-        for _ in range(2):
-            table = jnp.minimum(
-                table, table[jnp.minimum(table, jnp.int32(h * w))]
-            )
-        return table[: h * w].reshape(h, w)
 
     def cond(state):
         lab, changed, it = state
@@ -124,7 +139,7 @@ def connected_components(
 
     def body(state):
         lab, _, it = state
-        new = compress(propagate(lab))
+        new = sweep(lab)
         return new, jnp.any(new != lab), it + 1
 
     limit = jnp.int32(max_iters if max_iters is not None else h * w)
