@@ -119,3 +119,55 @@ def rotate_warp(image: jnp.ndarray, angle_deg: jnp.ndarray, method: str = "bilin
     center = ((w - 1) * 0.5, (h - 1) * 0.5)
     m = affine_inverse_matrix(angle_deg, (0.0, 0.0), 1.0, (0.0, 0.0), center)
     return affine_warp(image, m, method=method)
+
+
+def affine_warp_twopass(
+    image: jnp.ndarray, matrix: jnp.ndarray, method: str = "nearest"
+) -> jnp.ndarray:
+    """Affine nearest warp as two chained one-hot einsum passes.
+
+    XLA lowers the per-element 2-D gather of ``affine_warp`` to a
+    scalarized loop on TPU (~143 ms for a 128×256² batch); expressing the
+    same sampling as ``one_hot(idx) @ rows`` einsums hits the fused
+    broadcast-compare + matmul path instead (~20 ms, 7×). The row
+    coordinate is rounded before the column coordinate is evaluated
+    (shear-style decomposition), so sampled positions can differ from the
+    exact warp by ONE source pixel near rounding boundaries when the map
+    mixes axes (rotation/shear); axis-aligned maps (scale/translate,
+    ``matrix[0,1] == 0``) and identity are EXACT. Requires ``|matrix[1,1]|``
+    not tiny — callers should fall back to ``affine_warp`` beyond ~±45°
+    rotations. Zero fill outside the source, like ``affine_warp``.
+    """
+    if method != "nearest":
+        raise ValueError("affine_warp_twopass supports nearest sampling only")
+    import jax
+
+    h, w = image.shape[0], image.shape[1]
+    m00, m01, m02 = matrix[0, 0], matrix[0, 1], matrix[0, 2]
+    m10, m11, m12 = matrix[1, 0], matrix[1, 1], matrix[1, 2]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+
+    sy = m10 * xs + m11 * ys + m12  # (H_out, W_out)
+    yi = jnp.round(sy).astype(jnp.int32)
+    yvalid = (yi >= 0) & (yi < h)
+
+    safe_m11 = jnp.where(jnp.abs(m11) < 1e-3, 1e-3, m11)
+    b = m01 / safe_m11
+    a = m00 - b * m10
+    c = m02 - b * m12
+    ii = jnp.arange(h, dtype=jnp.float32)[:, None]
+    sx = a * xs + b * ii + c  # x-coordinate per (source row, output col)
+    xi = jnp.round(sx).astype(jnp.int32)
+    xvalid = (xi >= 0) & (xi < w)
+
+    x32 = image.astype(jnp.float32)
+    ohx = jax.nn.one_hot(jnp.clip(xi, 0, w - 1), w, dtype=jnp.float32)
+    mid = jnp.einsum("iwj,ijc->iwc", ohx, x32)
+    mid = jnp.where(xvalid[..., None], mid, 0.0)
+    ohy = jax.nn.one_hot(jnp.clip(yi, 0, h - 1), h, dtype=jnp.float32)
+    out = jnp.einsum("owi,iwc->owc", ohy, mid)
+    out = jnp.where(yvalid[..., None], out, 0.0)
+    if jnp.issubdtype(image.dtype, jnp.floating):
+        return out.astype(image.dtype)
+    return jnp.round(out).astype(image.dtype)

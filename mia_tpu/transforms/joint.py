@@ -203,8 +203,22 @@ class FusedRandomAffines(Transform):
 
     def __init__(self, affines_with_p: list):
         self.affines_with_p = [(a, float(p)) for a, p in affines_with_p]
+        # the einsum-based two-pass warp needs the map to stay far from a
+        # 90° axis swap; recipe ranges are static, so decide here
+        max_rot = 0.0
+        max_shear = 0.0
+        min_scale = 1.0
+        for a, _ in self.affines_with_p:
+            max_rot += max(abs(a.degrees[0]), abs(a.degrees[1]))
+            if a.shear:
+                max_shear += max(abs(s) for s in a.shear)
+            if a.scale:
+                min_scale = min(min_scale, a.scale[0])
+        self._use_twopass = max_rot + max_shear <= 45.0 and min_scale >= 0.4
 
     def apply(self, rng, image, label):
+        from ..ops.warp import affine_warp_twopass
+
         h, w = image.shape[0], image.shape[1]
         center = ((w - 1) * 0.5, (h - 1) * 0.5)
         # output -> input matrices compose left-to-right: applying A then B
@@ -224,8 +238,9 @@ class FusedRandomAffines(Transform):
         matrix = m[:2]
         is_identity = jnp.all(jnp.abs(m - identity) < 1e-12)
 
-        warped_img = affine_warp(image, matrix, "nearest")
-        warped_lbl = affine_warp(label[..., None], matrix, "nearest")[..., 0]
+        warp = affine_warp_twopass if self._use_twopass else affine_warp
+        warped_img = warp(image, matrix, "nearest")
+        warped_lbl = warp(label[..., None], matrix, "nearest")[..., 0]
         image = jnp.where(is_identity, image, warped_img)
         label = jnp.where(is_identity, label, warped_lbl)
         return image, label

@@ -201,8 +201,15 @@ def test_fused_affines_matches_sequential_single_fire(rng):
         xf, lf = fused.apply(key, x, l)
         ref_affine = a1 if fire_first else a2
         xr, lr = ref_affine.apply(jax.random.PRNGKey(0), x, l)  # params deterministic
-        np.testing.assert_allclose(np.asarray(xf), np.asarray(xr), atol=1e-6)
-        np.testing.assert_array_equal(np.asarray(lf), np.asarray(lr))
+        if fire_first:
+            # axis-aligned map: the fused two-pass warp is EXACT
+            np.testing.assert_allclose(np.asarray(xf), np.asarray(xr), atol=1e-6)
+            np.testing.assert_array_equal(np.asarray(lf), np.asarray(lr))
+        else:
+            # rotation: the two-pass warp may pick a neighbor source pixel
+            # near rounding boundaries (documented) — bound the flip rate
+            assert np.mean(np.asarray(xf) != np.asarray(xr)) < 0.15
+            assert np.mean(np.asarray(lf) != np.asarray(lr)) < 0.15
 
 
 def test_fused_affines_identity_when_no_fire(rng):
@@ -216,3 +223,50 @@ def test_fused_affines_identity_when_no_fire(rng):
     xf, lf = fused.apply(jax.random.PRNGKey(0), x, l)
     np.testing.assert_array_equal(np.asarray(xf), np.asarray(x))
     np.testing.assert_array_equal(np.asarray(lf), np.asarray(l))
+
+
+class TestTwopassWarp:
+    def test_identity_and_axis_aligned_exact(self, rng):
+        from mia_tpu.ops.warp import affine_warp, affine_warp_twopass
+
+        img = jnp.asarray(rng.random((32, 40, 3)), jnp.float32)
+        ident = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(affine_warp_twopass(img, ident)), np.asarray(img)
+        )
+        # axis-aligned (scale+translate, no rotation/shear): exact match
+        m = jnp.asarray([[1.3, 0.0, -4.2], [0.0, 0.8, 2.5]], jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(affine_warp_twopass(img, m)),
+            np.asarray(affine_warp(img, m, "nearest")),
+        )
+
+    def test_rotation_flip_rate_bounded(self, rng):
+        from mia_tpu.ops.warp import (
+            affine_inverse_matrix,
+            affine_warp,
+            affine_warp_twopass,
+        )
+
+        h = w = 64
+        img = jnp.asarray(rng.random((h, w, 1)), jnp.float32)
+        m = affine_inverse_matrix(
+            15.0, (0.0, 0.0), 1.0, (0.0, 0.0), ((w - 1) * 0.5, (h - 1) * 0.5)
+        )
+        exact = np.asarray(affine_warp(img, m, "nearest"))
+        fast = np.asarray(affine_warp_twopass(img, m))
+        flips = np.mean(exact != fast)
+        assert flips < 0.15, flips
+
+    def test_fused_affines_label_values_preserved(self, rng):
+        # integer labels must come back as exact integers through the einsum
+        from mia_tpu.ops.warp import affine_inverse_matrix, affine_warp_twopass
+
+        h = w = 48
+        lbl = jnp.asarray(rng.integers(0, 4, (h, w, 1)), jnp.int32)
+        m = affine_inverse_matrix(
+            12.0, (0.0, 0.0), 0.9, (0.0, 0.0), ((w - 1) * 0.5, (h - 1) * 0.5)
+        )
+        out = np.asarray(affine_warp_twopass(lbl, m))
+        assert out.dtype == np.int32
+        assert set(np.unique(out)) <= {0, 1, 2, 3}
