@@ -528,6 +528,22 @@ class ALTrainer(BaseTrainer):
                 metric_all, per_cls = fn(pred_nat, labels_u8, spacing, valid_shape)
                 return metric_all, per_cls, loss
 
+            if self.mesh is not None:
+                # multi-chip valid/test: slice axis sharded over the mesh,
+                # params and resize matrices replicated (VERDICT r1 item 4)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                repl = NamedSharding(self.mesh, P())
+                data = NamedSharding(self.mesh, P("data"))
+                return jax.jit(
+                    program,
+                    in_shardings=(
+                        repl, repl, data, data,
+                        repl, repl, repl, repl, repl, repl,
+                        repl, repl, repl,
+                    ),
+                    out_shardings=(repl, repl, repl),
+                )
             return jax.jit(program)
 
         def metrics_volume(pred, labels, spacing, valid_shape):
@@ -868,7 +884,9 @@ class ALTrainer(BaseTrainer):
 
         n, h, w = labels.shape[0], labels.shape[-2], labels.shape[-1]
         mh, mw = self._model_input_size()
-        pn = _bucket(n, 4)
+        # slice-axis bucket must also divide over the mesh's data axis
+        quantum = 4 if self.mesh is None else int(np.lcm(4, self.mesh.size))
+        pn = _bucket(n, quantum)
         ph, pw = _bucket(h, 32), _bucket(w, 32)
 
         images_p = np.zeros((pn, ph, pw, images.shape[-1]), np.float32)
