@@ -141,54 +141,65 @@ def prompt_generate_random_fast(
             count_key, (num_class,), num_points_prompt[0], num_points_prompt[1] + 1
         )
 
-        pts = []
-        pts_r = []
-        labels = []
-        fit_boxes = []
-        loose_boxes = []
-        class0_first = None
-        for cls in range(num_class):
-            k_center, k_rand, k_fit, k_loose = keys[cls * 4 : cls * 4 + 4]
-            mask_cls = (pred_i == cls).astype(jnp.int32)
-            has_any = jnp.sum(mask_cls) > 0
-            _, _, largest = component_sizes_and_largest(mask_cls)
-            largest = largest.astype(jnp.int32)
+        # per-class device machinery runs VMAPPED over classes: one CC
+        # while-loop / EDT program per image instead of num_class of them
+        # (the per-program fixed costs dominated the phase-2 profile)
+        cls_ids = jnp.arange(num_class, dtype=jnp.int32)
+        masks = (pred_i[None] == cls_ids[:, None, None]).astype(jnp.int32)
+        has_any = jnp.sum(masks, axis=(1, 2)) > 0  # (C,)
 
-            dist = _distance_to_zero(largest)
-            centers = _random_index_2d(k_center, dist, max_pts)  # (P, 2)
-            randoms = _random_in_mask(k_rand, largest, max_pts)
+        def largest_of(mask):
+            # capped sweeps: prompt positions only need A blob of the class,
+            # and the classes run vmapped in lockstep — an uncapped
+            # while-loop would make every class pay for the worst one
+            # (speckled backgrounds from early-training pseudo-labels).
+            # Fragments of an under-merged component still lie inside the
+            # class mask, so prompts stay valid; clean (trained) masks
+            # converge in far fewer sweeps than the cap.
+            _, _, largest = component_sizes_and_largest(mask, max_iters=16)
+            return largest.astype(jnp.int32)
 
-            # inactive slots (beyond the sampled count) repeat the first point
-            slot = jnp.arange(max_pts)
-            active = slot < counts[cls]
-            centers = jnp.where(active[:, None], centers, centers[0][None])
-            randoms = jnp.where(active[:, None], randoms, randoms[0][None])
+        largest = jax.vmap(largest_of)(masks)  # (C, H, W)
+        dists = jax.vmap(_distance_to_zero)(largest)
 
-            if cls == 0:
-                class0_first = centers[0]
-            # empty-class fallback: reuse class-0's first center (":602-611")
-            centers = jnp.where(has_any, centers, class0_first[None])
-            randoms = jnp.where(has_any, randoms, class0_first[None])
-            label_val = jnp.where(has_any & (cls > 0), cls, 0)
-            labels.append(jnp.full((max_pts,), 1, jnp.int32) * label_val)
+        k_centers = keys[0 : num_class * 4 : 4]
+        k_rands = keys[1 : num_class * 4 : 4]
+        k_fits = keys[2 : num_class * 4 : 4]
+        k_looses = keys[3 : num_class * 4 : 4]
 
-            pts.append(centers)
-            pts_r.append(randoms)
+        centers = jax.vmap(lambda k, d: _random_index_2d(k, d, max_pts))(
+            k_centers, dists
+        )  # (C, P, 2)
+        randoms = jax.vmap(lambda k, m: _random_in_mask(k, m, max_pts))(
+            k_rands, largest
+        )
 
-            if cls > 0:
-                fit = _jittered_bbox(k_fit, largest, bbox_change_rate[0])
-                loose = _jittered_bbox(k_loose, largest, bbox_change_rate[1])
-                # empty class → degenerate box at class-0 point
-                fallback = jnp.stack([class0_first, class0_first])
-                fit_boxes.append(jnp.where(has_any, fit, fallback))
-                loose_boxes.append(jnp.where(has_any, loose, fallback))
+        # inactive slots (beyond the sampled count) repeat the first point
+        active = jnp.arange(max_pts)[None, :] < counts[:, None]  # (C, P)
+        centers = jnp.where(active[..., None], centers, centers[:, :1])
+        randoms = jnp.where(active[..., None], randoms, randoms[:, :1])
 
-        points = jnp.concatenate(pts, axis=0)  # (total, 2)
-        points_r = jnp.concatenate(pts_r, axis=0)
-        labels = jnp.concatenate(labels, axis=0)
-        fit = jnp.stack(fit_boxes)  # (C-1, 2, 2)
-        loose = jnp.stack(loose_boxes)
-        return points, points_r, labels, fit, loose
+        # empty-class fallback: reuse class-0's first center (":602-611")
+        class0_first = centers[0, 0]
+        centers = jnp.where(has_any[:, None, None], centers, class0_first)
+        randoms = jnp.where(has_any[:, None, None], randoms, class0_first)
+        label_vals = jnp.where(has_any & (cls_ids > 0), cls_ids, 0)  # (C,)
+        labels = jnp.broadcast_to(label_vals[:, None], (num_class, max_pts))
+
+        fit_all = jax.vmap(
+            lambda k, m: _jittered_bbox(k, m, bbox_change_rate[0])
+        )(k_fits, largest)  # (C, 2, 2)
+        loose_all = jax.vmap(
+            lambda k, m: _jittered_bbox(k, m, bbox_change_rate[1])
+        )(k_looses, largest)
+        fallback = jnp.stack([class0_first, class0_first])  # degenerate box
+        fit_all = jnp.where(has_any[:, None, None], fit_all, fallback)
+        loose_all = jnp.where(has_any[:, None, None], loose_all, fallback)
+
+        points = centers.reshape(total, 2)
+        points_r = randoms.reshape(total, 2)
+        labels = labels.reshape(total).astype(jnp.int32)
+        return points, points_r, labels, fit_all[1:], loose_all[1:]
 
     keys = jax.random.split(rng, b)
     points, points_r, labels, fit, loose = jax.vmap(one_image)(keys, pred)

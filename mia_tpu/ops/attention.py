@@ -600,7 +600,7 @@ def _rel_packed_fwd(qkv, rel_h, rel_w, scale, k_hw, num_heads, block_q, interpre
 def _rel_packed_bwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, g_ref,
                            dq_ref, dk_ref, dv_ref, drh_ref, drw_ref, *,
                            scale: float, k_h: int, k_w: int, n_real: int,
-                           d: int):
+                           d: int, accum: bool = True):
     gd = q_ref.shape[2]
     g_size = gd // d
     n_pad = k_ref.shape[1]
@@ -616,10 +616,11 @@ def _rel_packed_bwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, g_ref,
         )
         qmask = qrow < n_real
 
-    @pl.when(pl.program_id(2) == 0)
-    def _():
-        dk_ref[...] = jnp.zeros_like(dk_ref)
-        dv_ref[...] = jnp.zeros_like(dv_ref)
+    if accum:
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            dk_ref[...] = jnp.zeros_like(dk_ref)
+            dv_ref[...] = jnp.zeros_like(dv_ref)
 
     for gi in range(g_size):
         sl = slice(gi * d, (gi + 1) * d)
@@ -678,8 +679,12 @@ def _rel_packed_bwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, g_ref,
         dq_ref[0, :, sl] = (dq_aug[:, :d] * scale).astype(dq_ref.dtype)
         drh_ref[gi] = dq_aug[:, d:d + k_h].astype(drh_ref.dtype)
         drw_ref[gi] = dq_aug[:, d + k_h:].astype(drw_ref.dtype)
-        dk_ref[0, :, sl] += dk_aug[:, :d]
-        dv_ref[0, :, sl] += dv_c
+        if accum:
+            dk_ref[0, :, sl] += dk_aug[:, :d]
+            dv_ref[0, :, sl] += dv_c
+        else:  # single q-block: no zero-init/read-modify-write round trip
+            dk_ref[0, :, sl] = dk_aug[:, :d]
+            dv_ref[0, :, sl] = dv_c
 
 
 def _rel_packed_bwd(scale, k_hw, num_heads, block_q, interpret, residuals, g):
@@ -699,6 +704,7 @@ def _rel_packed_bwd(scale, k_hw, num_heads, block_q, interpret, residuals, g):
         functools.partial(
             _rel_packed_bwd_kernel,
             scale=scale, k_h=k_h, k_w=k_w, n_real=n, d=d,
+            accum=grid[2] > 1,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, hd), qkv.dtype),

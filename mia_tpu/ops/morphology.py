@@ -165,9 +165,11 @@ def remove_small_regions(
     return jnp.where(keep, mask, 0)
 
 
-def component_sizes_and_largest(mask: jnp.ndarray, connectivity: int = 2):
+def component_sizes_and_largest(
+    mask: jnp.ndarray, connectivity: int = 2, max_iters: int | None = None
+):
     """Return (labels, size_map, largest_component_mask) for a binary mask."""
-    lab = connected_components(mask, connectivity=connectivity)
+    lab = connected_components(mask, connectivity=connectivity, max_iters=max_iters)
     flat = jnp.where(lab.reshape(-1) >= 0, lab.reshape(-1), mask.size)
     sizes = jnp.zeros(mask.size + 1, dtype=jnp.int32).at[flat].add(1)
     sizes = sizes.at[mask.size].set(0)
