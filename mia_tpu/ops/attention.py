@@ -3,19 +3,29 @@
 The encoder's attention (windowed 196-token and global ≤4096-token
 sequences, ``image_encoder.py``) is the CPC-SAM FLOPs hot spot. XLA
 materializes the (B·heads, N, N) score tensor in HBM between the two
-matmuls; this kernel keeps a q-block's scores in VMEM, fusing
-``scores → (+bias) → softmax → @v`` into one pass per (batch·head,
-q-block) grid cell. The decomposed rel-pos bias rides in as an additive
-(B·heads, N, N) operand.
+matmuls; these kernels keep a q-block's scores in VMEM, fusing
+``scores → (+rel-pos bias) → softmax → @v`` into one pass per grid cell.
 
-Gradients: ``fused_attention_rel`` carries a custom VJP whose backward is
-a flash-style Pallas kernel (scores recomputed per q-block, five gradient
-matmuls in the input dtype, dk/dv reduced across q-blocks in fp32).
-``fused_attention`` (dense-bias variant, off the ViT hot path) keeps the
-einsum backward. Sequences are padded to the q-block size by the caller
-with ``bias = -inf`` on padded keys.
+Three tiers, hottest first:
 
-On non-TPU backends the kernel runs in Pallas interpret mode (tests), so
+- ``fused_attention_rel_packed`` (the ViT hot path): q/k/v are read
+  straight out of the qkv Dense output layout (B, N, 3·H·D) via
+  lane-sliced BlockSpecs and the context lands in the proj layout — no
+  head-major transposes touch HBM. The factored rel-pos bias folds into
+  the score matmul by K-axis concatenation (contraction depth D+k_h+k_w),
+  blocks need not divide the token axis (OOB reads masked in-kernel,
+  OOB writes dropped), and each grid cell processes a group of heads.
+  Backward is a flash-style Pallas kernel: scores recomputed per q-block,
+  gradient matmuls in the input dtype, dq/drel folded into one matmul
+  against k_aug and dk into one against q_aug, fp32 dk/dv reduction
+  across q-blocks.
+- ``fused_attention_rel``: same math on pre-transposed head-major
+  (BH, N, D) operands (kept for API compatibility and as a simpler
+  reference of the layout tricks).
+- ``fused_attention``: dense additive-bias variant (off the hot path),
+  einsum backward.
+
+On non-TPU backends the kernels run in Pallas interpret mode (tests), so
 one code path serves everywhere.
 """
 

@@ -97,10 +97,19 @@ def simulate_low_res(image: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
 
     x = image.astype(jnp.float32)
 
+    # The index selections run as one-hot einsums instead of gathers (XLA
+    # scalarizes per-element gathers on TPU but fuses broadcast-compare
+    # matmuls; same exact arithmetic).
+    def axis_matrix(size, i0, i1, frac):
+        j = jnp.arange(size, dtype=jnp.int32)[None, :]
+        m0 = (i0[:, None] == j).astype(jnp.float32)
+        m1 = (i1[:, None] == j).astype(jnp.float32)
+        return m0 * (1.0 - frac)[:, None] + m1 * frac[:, None]
+
     i0, i1, fy = _lowres_axis_indices(h, low_h)
-    x = x[i0] * (1.0 - fy)[:, None, None] + x[i1] * fy[:, None, None]
+    x = jnp.einsum("oh,hwc->owc", axis_matrix(h, i0, i1, fy), x)
 
     j0, j1, fx = _lowres_axis_indices(w, low_w)
-    x = x[:, j0] * (1.0 - fx)[None, :, None] + x[:, j1] * fx[None, :, None]
+    x = jnp.einsum("ow,hwc->hoc", axis_matrix(w, j0, j1, fx), x)
 
     return x.astype(image.dtype) if jnp.issubdtype(image.dtype, jnp.floating) else x

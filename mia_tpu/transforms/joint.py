@@ -238,9 +238,19 @@ class FusedRandomAffines(Transform):
         matrix = m[:2]
         is_identity = jnp.all(jnp.abs(m - identity) < 1e-12)
 
-        warp = affine_warp_twopass if self._use_twopass else affine_warp
-        warped_img = warp(image, matrix, "nearest")
-        warped_lbl = warp(label[..., None], matrix, "nearest")[..., 0]
+        if self._use_twopass:
+            # image+label share the same nearest sampling — one warp of a
+            # stacked (H, W, C+1) tensor halves the one-hot einsum work
+            stacked = jnp.concatenate(
+                [image.astype(jnp.float32), label[..., None].astype(jnp.float32)],
+                axis=-1,
+            )
+            warped = affine_warp_twopass(stacked, matrix, "nearest")
+            warped_img = warped[..., :-1].astype(image.dtype)
+            warped_lbl = jnp.round(warped[..., -1]).astype(label.dtype)
+        else:
+            warped_img = affine_warp(image, matrix, "nearest")
+            warped_lbl = affine_warp(label[..., None], matrix, "nearest")[..., 0]
         image = jnp.where(is_identity, image, warped_img)
         label = jnp.where(is_identity, label, warped_lbl)
         return image, label
