@@ -221,6 +221,44 @@ def bench_al_round(tmp_root="/tmp/bench_al_round"):
     return round(time.perf_counter() - start, 1)
 
 
+def bench_sam_encoder():
+    """SAM ViT-B/512 encoder fwd and fwd+bwd img/s (bf16, batch 8) — the
+    CPC-SAM FLOPs hot spot, exercising the packed Pallas attention
+    kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    from mia_tpu.models.sam.image_encoder import ImageEncoderViT
+
+    enc = ImageEncoderViT(
+        img_size=512, embed_dim=768, depth=12, num_heads=12,
+        use_rel_pos=True, window_size=14, global_attn_indexes=(2, 5, 8, 11),
+        dtype=jnp.bfloat16,
+    )
+    batch = 8
+    x = jnp.asarray(
+        np.random.default_rng(0).random((batch, 512, 512, 3), np.float32)
+    )
+    variables = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(lambda: enc.init(jax.random.PRNGKey(0), x[:1])),
+    )
+    fwd = jax.jit(lambda v, x: enc.apply(v, x))
+    bwd = jax.jit(jax.grad(lambda v, x: jnp.sum(enc.apply(v, x).astype(jnp.float32) ** 2)))
+
+    out = {}
+    for name, fn in (("fwd", fwd), ("fwd_bwd", bwd)):
+        o = fn(variables, x)
+        _sync(jax.tree.leaves(o)[0])
+        iters = 10
+        start = time.perf_counter()
+        for _ in range(iters):
+            o = fn(variables, x)
+        _sync(jax.tree.leaves(o)[0])
+        out[name] = round(batch * iters / (time.perf_counter() - start), 1)
+    return out
+
+
 def bench_torch_reference():
     """Reference-equivalent torch train step, images/sec (torch CPU — the
     reference stack is torch-only and this image has no CUDA). Same
@@ -277,6 +315,7 @@ def main():
 
     for key, fn in (
         ("unet_train_bare_img_per_sec", lambda: bench_unet_mfu()),
+        ("sam_encoder_img_per_sec", bench_sam_encoder),
         ("cpcsam_img_per_sec", bench_cpcsam_steps),
         ("al_round_seconds", bench_al_round),
     ):

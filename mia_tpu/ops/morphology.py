@@ -11,7 +11,6 @@ Masks are 2D ``(H, W)``; vmap for batches.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
