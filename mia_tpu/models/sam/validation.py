@@ -20,40 +20,52 @@ import jax
 import jax.numpy as jnp
 from PIL import Image
 
-from ...data.base import host_joint_resize
+import functools
+
 from ...metrics.metrics import metric_percase, metric_percase_hd95
+from ...ops.resize import resize as device_resize
 from ...utils.common import draw_mask
 
 
+@functools.lru_cache(maxsize=64)
+def _volume_resize_programs(in_hw, patch_hw):
+    """Cached jitted (volume→patch bilinear-antialias, argmax→native
+    nearest-exact) resize programs per shape pair — replaces the former
+    per-slice PIL host loops (``nearest_exact`` matches PIL NEAREST for
+    downscale and up to boundary floats elsewhere)."""
+
+    @jax.jit
+    def to_patch(stack):
+        return device_resize(stack, patch_hw, "bilinear", antialias=True)
+
+    @jax.jit
+    def back_to_native(pred):
+        return device_resize(
+            pred[..., None].astype(jnp.int32), in_hw, "nearest_exact"
+        )[..., 0]
+
+    return to_patch, back_to_native
+
+
 def _forward_volume(apply_fn, image_dhwc, patch_size):
-    """Resize slices, run the model once, ensemble decoder softmaxes."""
+    """Resize slices (on device), run the model once, ensemble decoder
+    softmaxes, nearest-resize the argmax back (on device)."""
     d, h, w, c = image_dhwc.shape
-    resized = np.empty((d, patch_size[0], patch_size[1], c), np.float32)
-    dummy = np.zeros((h, w), np.int32)
-    for i in range(d):
-        resized[i], _ = host_joint_resize(image_dhwc[i], dummy, tuple(patch_size))
-    outputs = apply_fn(jnp.asarray(resized))
+    to_patch, back_to_native = _volume_resize_programs(
+        (h, w), (int(patch_size[0]), int(patch_size[1]))
+    )
+    resized = to_patch(jnp.asarray(image_dhwc, jnp.float32))
+    outputs = apply_fn(resized)
     masks = outputs["masks"] if isinstance(outputs, dict) else outputs
     ensemble = 0.0
-    n = 0
     for m in masks:
         if m is None:
             continue
         ensemble = ensemble + jax.nn.softmax(m.astype(jnp.float32), axis=-1)
-        n += 1
-    pred = np.asarray(jnp.argmax(ensemble, axis=-1)).astype(np.int32)
+    pred = jnp.argmax(ensemble, axis=-1).astype(jnp.int32)
     if pred.shape[1:] != (h, w):
-        back = np.stack(
-            [
-                np.asarray(
-                    Image.fromarray(p, mode="I").resize((w, h), Image.NEAREST)
-                )
-                for p in pred
-            ]
-        ).astype(np.int32)
-    else:
-        back = pred
-    return back, outputs
+        pred = back_to_native(pred)
+    return np.asarray(pred), outputs
 
 
 def test_single_volume(

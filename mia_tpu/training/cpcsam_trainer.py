@@ -687,19 +687,23 @@ class CPCSAMTrainer(BaseTrainer):
         self._step_phase1 = make_step(False)
         self._step_phase2 = make_step(True)
 
-        def eval_apply(params):
-            def apply_fn(images):
-                return model.apply(
-                    {"params": params},
-                    images,
-                    True,
-                    cfg.image_size,
-                    -1,
-                    None,
-                    rngs={"prompt": jax.random.PRNGKey(0)},
-                )
+        @jax.jit
+        def eval_fwd(params, images):
+            # jitted valid/test forward (params as an argument so every
+            # valid step reuses one compilation; the former closure-based
+            # version dispatched the whole model op-by-op)
+            return model.apply(
+                {"params": params},
+                images,
+                True,
+                cfg.image_size,
+                -1,
+                None,
+                rngs={"prompt": jax.random.PRNGKey(0)},
+            )
 
-            return apply_fn
+        def eval_apply(params):
+            return lambda images: eval_fwd(params, images)
 
         self._eval_apply = eval_apply
 
