@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .sam import Sam, postprocess_masks
@@ -21,7 +22,41 @@ class SamPredictor:
         self.variables = variables
         self.transform = ResizeLongestSide(sam_model.img_size)
         self.max_points = max_points
+        # jitted programs: one encoder embed (recompiles per input size —
+        # the longest side is fixed, so at most a handful), and one
+        # prompt→mask program per (has_box, has_mask, multimask) combo
+        self._embed_program = jax.jit(
+            lambda v, x: sam_model.apply(
+                v, x, method=sam_model.get_image_embeddings
+            )
+        )
+        self._decoder_programs: dict = {}
         self.reset_image()
+
+    def _decoder_program(self, has_box: bool, has_mask: bool, multimask: bool):
+        key = (has_box, has_mask, multimask)
+        if key not in self._decoder_programs:
+            model = self.model
+
+            def run(variables, features, coords, labels, boxes, masks_in):
+                def apply_fn(mdl):
+                    sparse, dense = mdl.prompt_encoder(
+                        points=(coords, labels),
+                        boxes=boxes if has_box else None,
+                        masks=masks_in if has_mask else None,
+                    )
+                    return mdl.mask_decoder(
+                        features,
+                        mdl.prompt_encoder.get_dense_pe(),
+                        sparse,
+                        dense,
+                        multimask,
+                    )
+
+                return model.apply(variables, method=apply_fn)
+
+            self._decoder_programs[key] = jax.jit(run)
+        return self._decoder_programs[key]
 
     def reset_image(self):
         self.is_image_set = False
@@ -37,10 +72,8 @@ class SamPredictor:
         resized = self.transform.apply_image(image)
         self.input_size = resized.shape[:2]
         # get_image_embeddings normalizes + pads to the encoder square
-        self.features = self.model.apply(
-            self.variables,
-            jnp.asarray(resized, jnp.float32)[None],
-            method=self.model.get_image_embeddings,
+        self.features = self._embed_program(
+            self.variables, jnp.asarray(resized, jnp.float32)[None]
         )
         self.is_image_set = True
 
@@ -82,21 +115,20 @@ class SamPredictor:
                 m = m[None] if m.ndim == 3 else m
             masks_in = jnp.asarray(m)
 
-        def apply_fn(mdl):
-            sparse, dense = mdl.prompt_encoder(
-                points=(jnp.asarray(coords), jnp.asarray(labels)),
-                boxes=boxes,
-                masks=masks_in,
-            )
-            return mdl.mask_decoder(
-                self.features,
-                mdl.prompt_encoder.get_dense_pe(),
-                sparse,
-                dense,
-                multimask_output,
-            )
-
-        low_res_masks, iou_predictions = self.model.apply(self.variables, method=apply_fn)
+        program = self._decoder_program(
+            boxes is not None, masks_in is not None, bool(multimask_output)
+        )
+        e4 = 4 * (self.model.img_size // 16)
+        low_res_masks, iou_predictions = program(
+            self.variables,
+            self.features,
+            jnp.asarray(coords),
+            jnp.asarray(labels),
+            boxes if boxes is not None else jnp.zeros((1, 4), jnp.float32),
+            masks_in
+            if masks_in is not None
+            else jnp.zeros((1, e4, e4, 1), jnp.float32),
+        )
         masks = postprocess_masks(
             low_res_masks, self.model.img_size, self.input_size, self.original_size
         )
