@@ -26,6 +26,11 @@ from ...metrics.metrics import metric_percase, metric_percase_hd95
 from ...ops.resize import resize as device_resize
 from ...utils.common import draw_mask
 
+# jitted metric programs (cached per mask shape): the eager versions
+# dispatched the EDT/surface machinery op-by-op per class per case
+_metric_percase_jit = jax.jit(lambda p, g, sp: metric_percase(p, g, sp))
+_metric_percase_hd95_jit = jax.jit(metric_percase_hd95)
+
 
 @functools.lru_cache(maxsize=64)
 def _volume_resize_programs(in_hw, patch_hw):
@@ -44,14 +49,20 @@ def _volume_resize_programs(in_hw, patch_hw):
             pred[..., None].astype(jnp.int32), in_hw, "nearest_exact"
         )[..., 0]
 
-    return to_patch, back_to_native
+    @jax.jit
+    def labels_to_patch(labels):
+        return device_resize(
+            labels[..., None].astype(jnp.int32), patch_hw, "nearest_exact"
+        )[..., 0]
+
+    return to_patch, back_to_native, labels_to_patch
 
 
 def _forward_volume(apply_fn, image_dhwc, patch_size):
     """Resize slices (on device), run the model once, ensemble decoder
     softmaxes, nearest-resize the argmax back (on device)."""
     d, h, w, c = image_dhwc.shape
-    to_patch, back_to_native = _volume_resize_programs(
+    to_patch, back_to_native, _ = _volume_resize_programs(
         (h, w), (int(patch_size[0]), int(patch_size[1]))
     )
     resized = to_patch(jnp.asarray(image_dhwc, jnp.float32))
@@ -89,13 +100,10 @@ def test_single_volume(
 
     loss = None
     if loss_fn is not None and isinstance(outputs, dict):
-        dummy = np.zeros(image.shape[:3], np.int32)
-        resized_label = np.stack(
-            [
-                host_joint_resize(image[i], label[i], tuple(patch_size))[1]
-                for i in range(image.shape[0])
-            ]
+        _, _, labels_to_patch = _volume_resize_programs(
+            label.shape[-2:], (int(patch_size[0]), int(patch_size[1]))
         )
+        resized_label = labels_to_patch(jnp.asarray(label))
         losses = [
             float(loss_fn(m, jnp.asarray(resized_label))[0])
             for m in outputs["low_res_logits"]
@@ -111,7 +119,9 @@ def test_single_volume(
 
     metric_list = []
     for i in range(1, classes):
-        dice, hd95 = metric_percase_hd95(jnp.asarray(pred == i), jnp.asarray(label == i))
+        dice, hd95 = _metric_percase_hd95_jit(
+            jnp.asarray(pred == i), jnp.asarray(label == i)
+        )
         metric_list.append((float(dice), float(hd95)))
     return metric_list, loss
 
@@ -152,8 +162,8 @@ def test_single_volume_mean(
 
     metric_list = []
     for i in range(1, classes):
-        dice, hd, asd, jc = metric_percase(
-            jnp.asarray(pred == i), jnp.asarray(label == i), spacing=sp
+        dice, hd, asd, jc = _metric_percase_jit(
+            jnp.asarray(pred == i), jnp.asarray(label == i), jnp.asarray(sp)
         )
         metric_list.append((float(dice), float(hd), float(asd), float(jc)))
 
