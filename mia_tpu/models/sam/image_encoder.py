@@ -189,15 +189,99 @@ class Attention(nn.Module):
         )
 
         if use_fused and self.use_rel_pos:
-            # packed path: q/k/v are consumed straight out of the qkv Dense
-            # layout and the context lands in the proj Dense layout — no
-            # head-major transposes touch HBM. For windowed attention the
-            # Dense runs on the UNPADDED grid and the windows are carved out
-            # of the qkv tensor with bias-row fill (exact reference
-            # semantics, ~42% less Dense work at 512²/window-14).
-            from ...ops.attention import fused_attention_rel_packed
+            from ...ops.attention import (
+                attention_rel_with_padding,
+                fused_attention_rel_packed,
+                fused_attention_rel_win,
+                packed_attention_available,
+                windowed_attention_available,
+            )
 
             interpret = jax.default_backend() != "tpu"
+            itemsize = jnp.dtype(self.dtype).itemsize
+
+            if ws > 0 and windowed_attention_available(
+                self.num_heads, head_dim, ws, full_h, full_w, itemsize,
+                interpret,
+            ):
+                # grid-native windowed path: NO partition copy ever touches
+                # HBM. The qkv Dense runs on the UNPADDED grid (42% less
+                # Dense work at 512²/window-14) and the kernel carves 14×14
+                # window tiles straight out of the qkv tensor; pad window
+                # slots are filled in-kernel with the qkv bias (the reference
+                # pads x with zeros BEFORE the Dense, ``:246-267``), whose
+                # gradient flows back through ``bias_kv``.
+                qkv = compute_qkv(x)  # (B, N, 3, heads, head_dim)
+                rh = resize_rel_pos(rel_pos_h, 2 * ws - 1)[
+                    jnp.asarray(_rel_pos_indices(ws, ws))
+                ]  # (ws, ws, head_dim)
+                rw = resize_rel_pos(rel_pos_w, 2 * ws - 1)[
+                    jnp.asarray(_rel_pos_indices(ws, ws))
+                ]
+                rh_mod = rh[np.arange(full_h) % ws]  # (Hg, ws, head_dim)
+                rw_mod = rw[np.arange(full_w) % ws]
+                q5 = qkv[:, :, 0].reshape(
+                    b, full_h, full_w, self.num_heads, head_dim
+                )
+                rel_h = jnp.einsum(
+                    "byxhc,ykc->bhyxk", q5, rh_mod.astype(q5.dtype)
+                ).reshape(b * self.num_heads, full_h, full_w, ws)
+                rel_w = jnp.einsum(
+                    "byxhc,xkc->bhyxk", q5, rw_mod.astype(q5.dtype)
+                ).reshape(b * self.num_heads, full_h, full_w, ws)
+                # W·0 + b = b: the Dense bias as a differentiable value (the
+                # pad-slot dk/dv gradient must reach the bias param, exactly
+                # as when pad tokens pass through the Dense).
+                bias_kv = compute_qkv(
+                    jnp.zeros((1, 1, 1, x.shape[-1]), x.dtype)
+                ).reshape(3, self.dim)
+                ctx = fused_attention_rel_win(
+                    qkv.reshape(b, full_h, full_w, 3 * self.dim),
+                    rel_h, rel_w, bias_kv, scale, ws, self.num_heads,
+                    interpret,
+                )
+                return proj(ctx.astype(self.dtype))
+
+            if packed_attention_available(self.num_heads, head_dim, interpret):
+                # packed path: q/k/v are consumed straight out of the qkv
+                # Dense layout and the context lands in the proj Dense layout
+                # — no head-major transposes touch HBM. Windows are
+                # partitioned BEFORE the Dense (reference ordering; the
+                # unpadded-Dense variant of this path was abandoned — the
+                # 3×-wider partition copy outweighed the Dense savings, see
+                # docs/PERF.md — and is superseded by the grid-native path
+                # above).
+                if ws > 0:
+                    x, pad_hw = window_partition(x, ws)
+                    h = w = ws
+                else:
+                    h, w = full_h, full_w
+                bw = x.shape[0]
+                n = h * w
+                qkv = compute_qkv(x)
+                rel_h, rel_w = decomposed_rel_terms_packed(
+                    qkv[:, :, 0], rel_pos_h, rel_pos_w, (h, w), (h, w)
+                )
+                out = fused_attention_rel_packed(
+                    qkv.reshape(bw, n, 3 * self.dim),
+                    rel_h,
+                    rel_w,
+                    scale,
+                    (h, w),
+                    self.num_heads,
+                    None,
+                    interpret,
+                )
+                out = out.astype(self.dtype).reshape(bw, h, w, self.dim)
+                if ws > 0:
+                    out = window_unpartition(out, ws, pad_hw, (full_h, full_w))
+                # proj commutes with the unpartition slice (linear per token)
+                return proj(out)
+
+            # head-major fused fallback: no packed lane tiling exists for
+            # this (heads, head_dim) — e.g. tiny test configs where no head
+            # group G has (G·head_dim) % 128 == 0. The d-lane kernel blocks
+            # of this path are always legal.
             if ws > 0:
                 x, pad_hw = window_partition(x, ws)
                 h = w = ws
@@ -206,23 +290,28 @@ class Attention(nn.Module):
             bw = x.shape[0]
             n = h * w
             qkv = compute_qkv(x)
-            rel_h, rel_w = decomposed_rel_terms_packed(
-                qkv[:, :, 0], rel_pos_h, rel_pos_w, (h, w), (h, w)
+            q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+            k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+            v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+            rel_h, rel_w = decomposed_rel_terms(
+                q, rel_pos_h, rel_pos_w, (h, w), (h, w)
             )
-            out = fused_attention_rel_packed(
-                qkv.reshape(bw, n, 3 * self.dim),
-                rel_h,
-                rel_w,
+            bh = bw * self.num_heads
+            out = attention_rel_with_padding(
+                q.reshape(bh, n, head_dim),
+                k.reshape(bh, n, head_dim),
+                v.reshape(bh, n, head_dim),
+                rel_h.reshape(bh, n, h),
+                rel_w.reshape(bh, n, w),
                 scale,
                 (h, w),
-                self.num_heads,
-                None,
-                interpret,
             )
-            out = out.astype(self.dtype).reshape(bw, h, w, self.dim)
+            out = out.reshape(bw, self.num_heads, n, head_dim)
+            out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(
+                bw, h, w, self.dim
+            )
             if ws > 0:
                 out = window_unpartition(out, ws, pad_hw, (full_h, full_w))
-            # proj commutes with the unpartition slice (linear per token)
             return proj(out)
 
         if ws > 0:

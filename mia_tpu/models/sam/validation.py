@@ -26,10 +26,30 @@ from ...metrics.metrics import metric_percase, metric_percase_hd95
 from ...ops.resize import resize as device_resize
 from ...utils.common import draw_mask
 
-# jitted metric programs (cached per mask shape): the eager versions
-# dispatched the EDT/surface machinery op-by-op per class per case
-_metric_percase_jit = jax.jit(lambda p, g, sp: metric_percase(p, g, sp))
-_metric_percase_hd95_jit = jax.jit(metric_percase_hd95)
+# jitted metric programs (cached per (classes, mask shape)): ALL classes of a
+# case run in ONE device program (stacked like the AL trainer's
+# ``metrics_volume``) instead of one dispatch per class per case.
+@functools.lru_cache(maxsize=8)
+def _stacked_metric_programs(classes: int):
+    @jax.jit
+    def hd95_all(pred, label):
+        return jnp.stack(
+            [
+                jnp.stack(metric_percase_hd95(pred == i, label == i))
+                for i in range(1, classes)
+            ]
+        )
+
+    @jax.jit
+    def full_all(pred, label, spacing):
+        return jnp.stack(
+            [
+                jnp.stack(metric_percase(pred == i, label == i, spacing))
+                for i in range(1, classes)
+            ]
+        )
+
+    return hd95_all, full_all
 
 
 @functools.lru_cache(maxsize=64)
@@ -117,12 +137,9 @@ def test_single_volume(
             ]
         loss = float(np.mean(losses)) if losses else None
 
-    metric_list = []
-    for i in range(1, classes):
-        dice, hd95 = _metric_percase_hd95_jit(
-            jnp.asarray(pred == i), jnp.asarray(label == i)
-        )
-        metric_list.append((float(dice), float(hd95)))
+    hd95_all, _ = _stacked_metric_programs(classes)
+    vals = np.asarray(hd95_all(jnp.asarray(pred), jnp.asarray(label)))
+    metric_list = [(float(d), float(h)) for d, h in vals]
     return metric_list, loss
 
 
@@ -160,12 +177,11 @@ def test_single_volume_mean(
         raw_spacing = (1.0, 1.0, 1.0)
     sp = tuple(float(s) for s in raw_spacing)
 
-    metric_list = []
-    for i in range(1, classes):
-        dice, hd, asd, jc = _metric_percase_jit(
-            jnp.asarray(pred == i), jnp.asarray(label == i), jnp.asarray(sp)
-        )
-        metric_list.append((float(dice), float(hd), float(asd), float(jc)))
+    _, full_all = _stacked_metric_programs(classes)
+    vals = np.asarray(
+        full_all(jnp.asarray(pred), jnp.asarray(label), jnp.asarray(sp))
+    )
+    metric_list = [tuple(float(x) for x in row) for row in vals]
 
     if test_save_path is not None and case is not None:
         from ...utils.nifti import write_nifti

@@ -513,7 +513,8 @@ def _attn_rel_packed_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
-def _packed_layout(b, n, num_heads, d, block_q, bwd, interpret=False):
+def _packed_layout(b, n, num_heads, d, block_q, bwd, interpret=False,
+                   itemsize=2, ka=0):
     """Shared grid/spec builder for the packed kernels."""
     # joint (block_q, group) selection: the lane axis of q/k/v blocks is
     # G·D, which Mosaic requires to be a multiple of 128, and the VMEM
@@ -523,7 +524,7 @@ def _packed_layout(b, n, num_heads, d, block_q, bwd, interpret=False):
         if bq_cand < 64:
             continue
         cap = _pick_group(num_heads, pl.cdiv(n, bq_cand) * bq_cand,
-                          bq_cand, d, 0, 2, bwd=bwd)
+                          bq_cand, d, ka, itemsize, bwd=bwd)
         for g_cand in range(min(cap, num_heads), 0, -1):
             if num_heads % g_cand == 0 and (
                 interpret or (g_cand * d) % 128 == 0
@@ -572,7 +573,8 @@ def _fused_rel_packed_fwd_impl(qkv, rel_h, rel_w, scale, k_hw, num_heads,
     if block_q is None:
         block_q = _pick_block_q(pad_for_attention(n, 128))
     grid, block_q, block_g, n_kblk, q_spec, k_spec, v_spec, rh_spec = _packed_layout(
-        b, n, num_heads, d, block_q, bwd=False, interpret=interpret
+        b, n, num_heads, d, block_q, bwd=False, interpret=interpret,
+        itemsize=jnp.dtype(qkv.dtype).itemsize, ka=k_h + k_w,
     )
     return pl.pallas_call(
         functools.partial(
@@ -706,7 +708,8 @@ def _rel_packed_bwd(scale, k_hw, num_heads, block_q, interpret, residuals, g):
     if block_q is None:
         block_q = _pick_block_q(pad_for_attention(n, 128))
     grid, block_q, block_g, n_kblk, q_spec, k_spec, v_spec, rh_spec = _packed_layout(
-        b, n, num_heads, d, block_q, bwd=True, interpret=interpret
+        b, n, num_heads, d, block_q, bwd=True, interpret=interpret,
+        itemsize=jnp.dtype(qkv.dtype).itemsize, ka=k_h + k_w,
     )
     oi_spec = pl.BlockSpec((1, block_q, block_g * d), lambda b, g, i: (b, i, g))
     acc_spec = pl.BlockSpec((1, n_kblk, block_g * d), lambda b, g, i: (b, 0, g))
@@ -738,3 +741,416 @@ def _rel_packed_bwd(scale, k_hw, num_heads, block_q, interpret, residuals, g):
 
 
 fused_attention_rel_packed.defvjp(_rel_packed_fwd, _rel_packed_bwd)
+
+
+# ---------------------------------------------------------------------------
+# grid-native windowed variant: NO window partition ever touches HBM. The
+# kernels read 14x14 window tiles straight out of the UNPARTITIONED
+# (B, Hg, Wg, 3*H*D) qkv-Dense grid via row-band BlockSpecs
+# (1, ws, Wg_full, G*D) and carve the windows of each band in-kernel
+# (reference partition semantics: ``image_encoder.py:246-267``). Window slots
+# past the grid edge are filled with the qkv Dense BIAS (the reference pads x
+# with zeros BEFORE the Dense, so pad tokens carry qkv = bias); the bias
+# enters as a differentiable input so the pad-slot dk/dv gradient flows back
+# to the bias parameter exactly as in the partition-first formulation (where
+# pad tokens pass through the Dense). The context lands unpartitioned in the
+# proj layout. This removes the partition/unpartition copies (~23 ms of a
+# 94.5 ms ViT-B/512 b8 fwd+bwd step) AND lets the qkv Dense run on the
+# unpadded grid (42% less Dense work at 512^2/window-14).
+# ---------------------------------------------------------------------------
+
+
+def _win_expanders(ws: int, dtype):
+    """(ws*ws, ws) one-hot key expanders for a FULL window (every slot is a
+    window slot — pad slots carry the rel bias too, as in the reference)."""
+    n = ws * ws
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, ws), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, ws), 1)
+    e_h_t = (row // ws == col).astype(dtype)
+    e_w_t = (row % ws == col).astype(dtype)
+    return e_h_t, e_w_t
+
+
+def _win_divisors(num_heads: int):
+    return [g for g in range(num_heads, 0, -1) if num_heads % g == 0]
+
+
+def _pick_win_group(num_heads: int, d: int, ws: int, wg: int, itemsize: int,
+                    bwd: bool, interpret: bool,
+                    budget_bytes: int = 5 * 2**20):
+    """Largest head group G with a legal lane block (G*D % 128 == 0 on TPU)
+    whose per-cell VMEM footprint fits. Returns None if no G works.
+
+    The budget is deliberately conservative (~1/3 of the 16 MB VMEM):
+    Mosaic's measured stack allocation for these kernels runs ~2.5x this
+    model (the unrolled window x head loop keeps many score-sized temps
+    live)."""
+    n = ws * ws
+    for g in _win_divisors(num_heads):
+        if not interpret and (g * d) % 128 != 0:
+            continue
+        gd = g * d
+        band = ws * wg * gd * itemsize          # one qkv/ctx band block
+        relb = 2 * g * ws * wg * ws * itemsize  # rel_h + rel_w band blocks
+        if bwd:
+            # in: q,k,v,o,g bands + rel; out: dq,dk,dv bands + drel (+db)
+            streams = 2 * (8 * band + 2 * relb)
+            temps = 6 * n * n * 4 + 8 * n * gd * itemsize
+        else:
+            streams = 2 * (4 * band + relb)
+            temps = 3 * n * n * 4 + 5 * n * gd * itemsize
+        if streams + temps <= budget_bytes:
+            return g
+    return None
+
+
+import os
+
+_WIN_ATTN_TPU = os.environ.get("MIA_WINDOWED_ATTN", "0") not in ("0", "", "false")
+
+
+def windowed_attention_available(num_heads: int, d: int, ws: int,
+                                 hg: int, wg: int, itemsize: int = 2,
+                                 interpret: bool = False) -> bool:
+    """Whether the grid-native windowed kernels can run for this config.
+
+    On real TPU the path is currently opt-in via MIA_WINDOWED_ATTN=1 while
+    its Mosaic lowering is tuned (the first cut lowered correctly but ran
+    far below the packed path); interpret mode (tests) always allows it.
+    """
+    if not interpret and not _WIN_ATTN_TPU:
+        return False
+    if ws <= 0 or hg < ws or wg < ws:
+        return False
+    if _pick_win_group(num_heads, d, ws, wg, itemsize, True, interpret) is None:
+        return False
+    return _pick_win_group(num_heads, d, ws, wg, itemsize, False, interpret) is not None
+
+
+def _win_carve(band, x0, x1, ws, fill):
+    """Slice window columns [x0, x1) out of a (..., ws, Wg, C) band and pad
+    the right edge with ``fill`` (broadcastable) up to ws columns."""
+    win = band[..., :, x0:x1, :]
+    pad = ws - (x1 - x0)
+    if pad:
+        shape = win.shape[:-2] + (pad, win.shape[-1])
+        win = jnp.concatenate([win, jnp.broadcast_to(fill, shape)], axis=-2)
+    return win
+
+
+def _attn_rel_win_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, bias_ref, o_ref,
+                         *, scale: float, ws: int, hg: int, wg: int, d: int):
+    """Forward over one (batch, head-group, row-band) cell: carve each 14x14
+    window from the band, flatten to (ws*ws, G*D), run the concat-K fused
+    score+softmax+PV pass per head, write the context back into the band."""
+    gd = q_ref.shape[3]
+    g_size = gd // d
+    n = ws * ws
+    nwx = (wg + ws - 1) // ws
+    e_h_t, e_w_t = _win_expanders(ws, q_ref.dtype)
+    scale_lo = jnp.asarray(scale, q_ref.dtype)
+
+    band_q, band_k, band_v = q_ref[0], k_ref[0], v_ref[0]  # (ws, Wg, gd)
+    band_rh, band_rw = rh_ref[...], rw_ref[...]            # (G, ws, Wg, ws)
+    bias_q = bias_ref[0][None, None, :]
+    bias_k = bias_ref[1][None, None, :]
+    bias_v = bias_ref[2][None, None, :]
+    if hg % ws:
+        # last band reads past the grid edge: replace garbage rows with the
+        # qkv bias (pad-token semantics) / zeros (rel rows of pad queries).
+        wy = pl.program_id(2)
+        rowvalid = (jax.lax.broadcasted_iota(jnp.int32, (ws, 1, 1), 0)
+                    + wy * ws) < hg
+        band_q = jnp.where(rowvalid, band_q, bias_q)
+        band_k = jnp.where(rowvalid, band_k, bias_k)
+        band_v = jnp.where(rowvalid, band_v, bias_v)
+        rv4 = rowvalid[None]
+        band_rh = jnp.where(rv4, band_rh, 0)
+        band_rw = jnp.where(rv4, band_rw, 0)
+
+    for wx in range(nwx):
+        x0 = wx * ws
+        x1 = min(x0 + ws, wg)
+        q3 = _win_carve(band_q, x0, x1, ws, bias_q)
+        k3 = _win_carve(band_k, x0, x1, ws, bias_k)
+        v3 = _win_carve(band_v, x0, x1, ws, bias_v)
+        rh3 = _win_carve(band_rh, x0, x1, ws, jnp.zeros((), band_rh.dtype))
+        rw3 = _win_carve(band_rw, x0, x1, ws, jnp.zeros((), band_rw.dtype))
+        q2, k2, v2 = (t.reshape(n, gd) for t in (q3, k3, v3))
+        for gi in range(g_size):
+            sl = slice(gi * d, (gi + 1) * d)
+            q_aug = jnp.concatenate(
+                [q2[:, sl] * scale_lo, rh3[gi].reshape(n, ws),
+                 rw3[gi].reshape(n, ws)], axis=1)
+            k_aug = jnp.concatenate([k2[:, sl], e_h_t, e_w_t], axis=1)
+            s = jax.lax.dot_general(
+                q_aug, k_aug, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (n, n)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                (p / denom).astype(v2.dtype), v2[:, sl],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o3 = o.astype(o_ref.dtype).reshape(ws, ws, d)
+            o_ref[0, :, x0:x1, sl] = o3[:, : x1 - x0]
+
+
+def _win_layout(b, hg, wg, num_heads, d, ws, itemsize, bwd, interpret):
+    block_g = _pick_win_group(num_heads, d, ws, wg, itemsize, bwd, interpret)
+    if block_g is None:
+        raise ValueError(
+            f"no windowed-attention tiling for heads={num_heads}, d={d}"
+        )
+    hgroups = num_heads // block_g
+    nwy = (hg + ws - 1) // ws
+    grid = (b, hgroups, nwy)
+    gd = block_g * d
+
+    def qkv_spec(part):  # part 0=q, 1=k, 2=v in the (3, H, D) lane layout
+        return pl.BlockSpec(
+            (1, ws, wg, gd),
+            lambda b, g, wy, _p=part, _h=hgroups: (b, wy, 0, _p * _h + g),
+        )
+
+    rel_spec = pl.BlockSpec(
+        (block_g, ws, wg, ws),
+        lambda b, g, wy, _h=hgroups: (b * _h + g, wy, 0, 0),
+    )
+    bias_spec = pl.BlockSpec((3, gd), lambda b, g, wy: (0, g))
+    ctx_spec = pl.BlockSpec((1, ws, wg, gd), lambda b, g, wy: (b, wy, 0, g))
+    return grid, block_g, gd, qkv_spec, rel_spec, bias_spec, ctx_spec
+
+
+def _fused_rel_win_fwd_impl(qkv, rel_h, rel_w, bias_kv, scale, ws, num_heads,
+                            interpret):
+    b, hg, wg, three_hd = qkv.shape
+    d = three_hd // (3 * num_heads)
+    grid, block_g, gd, qkv_spec, rel_spec, bias_spec, ctx_spec = _win_layout(
+        b, hg, wg, num_heads, d, ws, jnp.dtype(qkv.dtype).itemsize,
+        bwd=False, interpret=interpret,
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _attn_rel_win_kernel, scale=scale, ws=ws, hg=hg, wg=wg, d=d
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hg, wg, num_heads * d), qkv.dtype),
+        grid=grid,
+        in_specs=[qkv_spec(0), qkv_spec(1), qkv_spec(2), rel_spec, rel_spec,
+                  bias_spec],
+        out_specs=ctx_spec,
+        interpret=interpret,
+    )(qkv, qkv, qkv, rel_h, rel_w, bias_kv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def fused_attention_rel_win(qkv, rel_h, rel_w, bias_kv, scale, ws, num_heads,
+                            interpret=False):
+    """Windowed softmax(q.kT.scale + rel_h(+)rel_w).v on the UNPARTITIONED
+    token grid.
+
+    qkv: (B, Hg, Wg, 3*H*D) — the qkv Dense output on the unpadded grid
+    (lane layout (3, H, D)). rel_h/rel_w: (B*H, Hg, Wg, ws) factored rel-pos
+    terms of the REAL tokens in grid layout. bias_kv: (3, H*D) qkv Dense
+    bias (zeros when the Dense has none) — fills pad window slots and
+    receives their dk/dv gradient. Returns the context grid (B, Hg, Wg, H*D).
+    """
+    return _fused_rel_win_fwd_impl(
+        qkv, rel_h, rel_w, bias_kv, scale, ws, num_heads, interpret
+    )
+
+
+def _rel_win_fwd(qkv, rel_h, rel_w, bias_kv, scale, ws, num_heads, interpret):
+    out = _fused_rel_win_fwd_impl(
+        qkv, rel_h, rel_w, bias_kv, scale, ws, num_heads, interpret
+    )
+    return out, (qkv, rel_h, rel_w, bias_kv, out)
+
+
+def _attn_rel_win_bwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, bias_ref,
+                             o_ref, g_ref, dq_ref, dk_ref, dv_ref, drh_ref,
+                             drw_ref, db_ref, *, scale: float, ws: int,
+                             hg: int, wg: int, d: int):
+    """Flash-style backward; one q-block per window, so dq/dk/dv/drel are
+    fully produced per cell (no cross-cell accumulation). Pad-slot dk/dv
+    rows are folded into the per-batch bias-gradient accumulator ``db_ref``
+    (rows: [dq≡0, dk_pad, dv_pad]) which the wrapper sums over batch."""
+    gd = q_ref.shape[3]
+    g_size = gd // d
+    n = ws * ws
+    nwx = (wg + ws - 1) // ws
+    e_h_t, e_w_t = _win_expanders(ws, q_ref.dtype)
+    scale_lo = jnp.asarray(scale, q_ref.dtype)
+    wy = pl.program_id(2)
+
+    band_q, band_k, band_v = q_ref[0], k_ref[0], v_ref[0]
+    band_o, band_g = o_ref[0], g_ref[0]
+    band_rh, band_rw = rh_ref[...], rw_ref[...]
+    bias_q = bias_ref[0][None, None, :]
+    bias_k = bias_ref[1][None, None, :]
+    bias_v = bias_ref[2][None, None, :]
+    zero = jnp.zeros((), band_q.dtype)
+    pad_rows = bool(hg % ws)
+    if pad_rows:
+        rowvalid = (jax.lax.broadcasted_iota(jnp.int32, (ws, 1, 1), 0)
+                    + wy * ws) < hg
+        band_q = jnp.where(rowvalid, band_q, bias_q)
+        band_k = jnp.where(rowvalid, band_k, bias_k)
+        band_v = jnp.where(rowvalid, band_v, bias_v)
+        # pad-row outputs were dropped -> zero cotangent; o rows are garbage
+        # in HBM and must be zeroed so delta = sum(g*o) stays finite.
+        band_o = jnp.where(rowvalid, band_o, 0)
+        band_g = jnp.where(rowvalid, band_g, 0)
+        rv4 = rowvalid[None]
+        band_rh = jnp.where(rv4, band_rh, 0)
+        band_rw = jnp.where(rv4, band_rw, 0)
+
+    need_db = pad_rows or bool(wg % ws)
+    db_k = [jnp.zeros((1, d), jnp.float32) for _ in range(g_size)]
+    db_v = [jnp.zeros((1, d), jnp.float32) for _ in range(g_size)]
+    if pad_rows:
+        rowvalid_n = (
+            jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) // ws + wy * ws
+        ) < hg
+    else:
+        rowvalid_n = None
+
+    for wx in range(nwx):
+        x0 = wx * ws
+        x1 = min(x0 + ws, wg)
+        real_w = x1 - x0
+        q3 = _win_carve(band_q, x0, x1, ws, bias_q)
+        k3 = _win_carve(band_k, x0, x1, ws, bias_k)
+        v3 = _win_carve(band_v, x0, x1, ws, bias_v)
+        o3 = _win_carve(band_o, x0, x1, ws, zero)
+        g3 = _win_carve(band_g, x0, x1, ws, zero)
+        rh3 = _win_carve(band_rh, x0, x1, ws, jnp.zeros((), band_rh.dtype))
+        rw3 = _win_carve(band_rw, x0, x1, ws, jnp.zeros((), band_rw.dtype))
+        q2, k2, v2, o2, g2 = (t.reshape(n, gd) for t in (q3, k3, v3, o3, g3))
+        if need_db:
+            # window slots that are NOT real tokens: their dk/dv belongs to
+            # the qkv bias parameter.
+            colvalid_n = (
+                jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) % ws
+            ) < real_w
+            padmask = jnp.logical_not(
+                colvalid_n if rowvalid_n is None
+                else jnp.logical_and(rowvalid_n, colvalid_n)
+            )
+        for gi in range(g_size):
+            sl = slice(gi * d, (gi + 1) * d)
+            v = v2[:, sl]
+            g2h = g2[:, sl]
+            q_aug = jnp.concatenate(
+                [q2[:, sl] * scale_lo, rh3[gi].reshape(n, ws),
+                 rw3[gi].reshape(n, ws)], axis=1)
+            k_aug = jnp.concatenate([k2[:, sl], e_h_t, e_w_t], axis=1)
+            s = jax.lax.dot_general(
+                q_aug, k_aug, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            delta = jnp.sum(
+                g2h.astype(jnp.float32) * o2[:, sl].astype(jnp.float32),
+                axis=-1, keepdims=True,
+            )
+            p_lo = p.astype(v.dtype)
+            dv_full = jax.lax.dot_general(
+                p_lo, g2h, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (n, d)
+            dp = jax.lax.dot_general(
+                g2h, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - delta)
+            ds_lo = ds.astype(q_aug.dtype)
+            dq_aug = jax.lax.dot_general(
+                ds_lo, k_aug, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk_full = jax.lax.dot_general(
+                ds_lo, q_aug, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[:, :d]  # (n, d); E-part cotangent discarded (constants)
+
+            dq3 = (dq_aug[:, :d] * scale).astype(dq_ref.dtype).reshape(ws, ws, d)
+            drh3 = dq_aug[:, d:d + ws].astype(drh_ref.dtype).reshape(ws, ws, ws)
+            drw3 = dq_aug[:, d + ws:].astype(drw_ref.dtype).reshape(ws, ws, ws)
+            dk3 = dk_full.astype(dk_ref.dtype).reshape(ws, ws, d)
+            dv3 = dv_full.astype(dv_ref.dtype).reshape(ws, ws, d)
+            dq_ref[0, :, x0:x1, sl] = dq3[:, :real_w]
+            dk_ref[0, :, x0:x1, sl] = dk3[:, :real_w]
+            dv_ref[0, :, x0:x1, sl] = dv3[:, :real_w]
+            drh_ref[gi, :, x0:x1, :] = drh3[:, :real_w]
+            drw_ref[gi, :, x0:x1, :] = drw3[:, :real_w]
+            if need_db:
+                db_k[gi] += jnp.sum(
+                    jnp.where(padmask, dk_full, 0.0), axis=0, keepdims=True
+                )
+                db_v[gi] += jnp.sum(
+                    jnp.where(padmask, dv_full, 0.0), axis=0, keepdims=True
+                )
+
+    db_block = jnp.concatenate(
+        [jnp.zeros((1, gd), jnp.float32),
+         jnp.concatenate(db_k, axis=1),
+         jnp.concatenate(db_v, axis=1)], axis=0,
+    )
+
+    @pl.when(wy == 0)
+    def _():
+        db_ref[0] = db_block
+
+    @pl.when(wy != 0)
+    def _():
+        db_ref[0] += db_block
+
+
+def _rel_win_bwd(scale, ws, num_heads, interpret, residuals, g):
+    qkv, rel_h, rel_w, bias_kv, out = residuals
+    b, hg, wg, three_hd = qkv.shape
+    d = three_hd // (3 * num_heads)
+    hd = num_heads * d
+    grid, block_g, gd, qkv_spec, rel_spec, bias_spec, ctx_spec = _win_layout(
+        b, hg, wg, num_heads, d, ws, jnp.dtype(qkv.dtype).itemsize,
+        bwd=True, interpret=interpret,
+    )
+    db_spec = pl.BlockSpec((1, 3, gd), lambda b, g, wy: (b, 0, g))
+    dq, dk, dv, drh, drw, db = pl.pallas_call(
+        functools.partial(
+            _attn_rel_win_bwd_kernel, scale=scale, ws=ws, hg=hg, wg=wg, d=d
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hg, wg, hd), qkv.dtype),
+            jax.ShapeDtypeStruct((b, hg, wg, hd), qkv.dtype),
+            jax.ShapeDtypeStruct((b, hg, wg, hd), qkv.dtype),
+            jax.ShapeDtypeStruct((b * num_heads, hg, wg, ws), rel_h.dtype),
+            jax.ShapeDtypeStruct((b * num_heads, hg, wg, ws), rel_w.dtype),
+            jax.ShapeDtypeStruct((b, 3, hd), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[qkv_spec(0), qkv_spec(1), qkv_spec(2), rel_spec, rel_spec,
+                  bias_spec, ctx_spec, ctx_spec],
+        out_specs=(ctx_spec, ctx_spec, ctx_spec, rel_spec, rel_spec, db_spec),
+        interpret=interpret,
+    )(qkv, qkv, qkv, rel_h, rel_w, bias_kv, out, g)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    return dqkv, drh, drw, jnp.sum(db, axis=0).astype(bias_kv.dtype)
+
+
+fused_attention_rel_win.defvjp(_rel_win_fwd, _rel_win_bwd)
+
+
+def packed_attention_available(num_heads: int, d: int,
+                               interpret: bool = False) -> bool:
+    """Whether ``fused_attention_rel_packed`` has a legal tiling (the lane
+    block G*D must be a multiple of 128 on TPU for some head group G)."""
+    if interpret:
+        return True
+    return any((g * d) % 128 == 0 for g in _win_divisors(num_heads))

@@ -67,6 +67,7 @@ class ALConfig:
         lr_warmup_iter: int = 5000,
         save_freq_epoch: int | None = None,
         valid_freq_iter: int = 200,
+        log_every_iters: int = 1,
         valid_mode: str = "volumn",
         save_metric_name: str = "dice",
         maximum_save_metric: bool | None = None,
@@ -146,6 +147,10 @@ class ALConfig:
         self.lr_warmup_iter = lr_warmup_iter
         self.save_freq_epoch = save_freq_epoch
         self.valid_freq_iter = valid_freq_iter
+        # >1 defers the per-iteration loss D2H fetch (the one host sync in
+        # the train loop) to every Nth step, so dispatch runs ahead of the
+        # device; 1 keeps the reference's per-iteration log lines.
+        self.log_every_iters = log_every_iters
         self.valid_mode = valid_mode
         self.save_metric_name = save_metric_name
         self.maximum_save_metric = maximum_save_metric

@@ -420,8 +420,14 @@ class ALTrainer(BaseTrainer):
         name = self.config.active_selector_name
         if name not in SELECTORS:
             raise ValueError(f"ActiveSelector {name} not found")
+        # BADGE: the reference forces batch 1 as a torch memory workaround
+        # (``al_trainer.py:871-879``); the vmap(grad) embedding has no such
+        # constraint, so sweep in chunks of up to 8 (equality-tested vs
+        # batch 1 in test_activelearning.py).
         self.active_selector = SELECTORS[name](
-            batch_size=self.config.batch_size if name != "badge" else 1,
+            batch_size=self.config.batch_size
+            if name != "badge"
+            else max(1, min(8, self.config.batch_size)),
             coreset_criteria=self.config.coreset_criteria,
             coreset_fusion=self.config.coreset_fusion,
             feature_path=self.config.feature_path,
@@ -757,8 +763,34 @@ class ALTrainer(BaseTrainer):
         self._train_start_time = time.time()
         self.logger.info("Train")
         self.epoch_train_outputs = []
+        self._pending_train_logs = []
+
+    def _record_train_loss(self, step_index: int, lr: float, loss: float):
+        self.epoch_train_outputs.append({"loss": loss})
+        if self.use_wandb:
+            self.wandb_runner.log(
+                {
+                    f"round_{self.current_round}/train/iter/lr": lr,
+                    f"round_{self.current_round}/train/iter/loss": loss,
+                    f"round_{self.current_round}_train_epoch": self.current_epoch,
+                    f"round_{self.current_round}_train_iter": step_index,
+                }
+            )
+
+    def _flush_train_logs(self):
+        """Fetch the buffered device loss scalars (one host sync for the
+        whole window) and emit the deferred log/wandb records."""
+        if not getattr(self, "_pending_train_logs", None):
+            return
+        pending, self._pending_train_logs = self._pending_train_logs, []
+        losses = jax.device_get([loss for _, _, loss in pending])
+        for (step_index, lr, _), loss in zip(pending, losses):
+            loss = float(loss)
+            self.logger.info(f"Iteration {step_index} lr: {lr} Loss: {loss}")
+            self._record_train_loss(step_index, lr, loss)
 
     def on_train_epoch_end(self):
+        self._flush_train_logs()
         if (
             self.config.save_freq_epoch
             and (self.current_epoch + 1) % self.config.save_freq_epoch == 0
@@ -799,22 +831,21 @@ class ALTrainer(BaseTrainer):
         step_index = self.current_iter
         with trace_span("train/step"):
             self.state, metrics = self._train_step(self.state, images, labels, self.root_key)
-        loss = float(metrics["loss"])  # the ONE device fetch per iteration
-        # lr is a pure function of the step — no second D2H round-trip
+        # lr is a pure function of the step — no D2H round-trip
         lr = float(self.lr_schedule(step_index))
-        self.logger.info(f"lr: {lr}")
-        self.logger.info(f"Loss: {loss}")
-        self.epoch_train_outputs.append({"loss": loss})
-
-        if self.use_wandb:
-            self.wandb_runner.log(
-                {
-                    f"round_{self.current_round}/train/iter/lr": lr,
-                    f"round_{self.current_round}/train/iter/loss": loss,
-                    f"round_{self.current_round}_train_epoch": self.current_epoch,
-                    f"round_{self.current_round}_train_iter": self.current_iter,
-                }
-            )
+        log_every = max(1, int(getattr(self.config, "log_every_iters", 1)))
+        if log_every <= 1:
+            loss = float(metrics["loss"])  # the ONE device fetch per iteration
+            self.logger.info(f"lr: {lr}")
+            self.logger.info(f"Loss: {loss}")
+            self._record_train_loss(step_index, lr, loss)
+        else:
+            # defer the fetch: at ~135 ms/step the per-iteration D2H sync
+            # serializes host dispatch against device compute; stash the
+            # device scalar and flush every ``log_every`` steps.
+            self._pending_train_logs.append((step_index, lr, metrics["loss"]))
+            if (step_index + 1) % log_every == 0:
+                self._flush_train_logs()
 
         elapsed = time.time() - start
         self.logger.info(f"Iteration time elapsed: {elapsed:.3f} seconds")

@@ -83,9 +83,20 @@ def write_nifti(
     spacing: tuple[float, float, float] = (1.0, 1.0, 1.0),
 ) -> None:
     """Write ``volume`` ((D, H, W) or (H, W)) with voxel ``spacing``
-    (sx, sy, sz); gzip-compresses when the suffix is ``.gz``."""
+    (sx, sy, sz); gzip-compresses when the suffix is ``.gz``.
+
+    int64 narrows to int32 (raising on overflow) and float64 to float32
+    (precision-lossy, like SimpleITK's default float image writes)."""
     volume = np.ascontiguousarray(volume)
     if volume.dtype == np.int64:
+        info = np.iinfo(np.int32)
+        if volume.size and (
+            volume.max() > info.max or volume.min() < info.min
+        ):
+            raise ValueError(
+                "int64 volume exceeds int32 range; cast explicitly before "
+                "write_nifti"
+            )
         volume = volume.astype(np.int32)
     if volume.dtype == np.float64:
         volume = volume.astype(np.float32)

@@ -111,6 +111,21 @@ def test_selectors_cold_start_random(fugc_active, name):
     assert len(picked) == 3
 
 
+def test_badge_embedding_batch_invariant(fugc_active):
+    """The vmap(grad) BADGE embedding is per-image, so sweeping the pool at
+    batch 8 must equal the reference-style batch-1 sweep (the forced
+    ``batch_size=1`` torch memory workaround is obsolete here)."""
+    from mia_tpu.activelearning.scorers import sweep_pool
+
+    active = fugc_active(3)
+    scorer = _tiny_scorer()
+    pool = active.pool_dataset
+    emb1, names1 = sweep_pool(pool, 1, scorer.badge_grad_embedding)
+    emb8, names8 = sweep_pool(pool, 8, scorer.badge_grad_embedding)
+    assert names1 == names8
+    np.testing.assert_allclose(emb8, emb1, rtol=1e-5, atol=1e-6)
+
+
 def test_uncertainty_scores_match_formulas(rng):
     from mia_tpu.activelearning import confidence_score, entropy_score, margin_score
 

@@ -146,6 +146,111 @@ def test_fused_rel_attention_gradients_unaligned(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "hw,ws,dim,heads",
+    [
+        ((10, 9), 4, 16, 2),   # pad rows AND cols (grid-edge bias fill)
+        ((8, 8), 4, 16, 2),    # exact tiling, no padding
+        ((12, 12), 4, 24, 3),  # head group != power of two
+    ],
+)
+def test_windowed_attention_matches_einsum(rng, hw, ws, dim, heads):
+    """Grid-native windowed kernel vs the reference einsum path through the
+    full Attention module: fwd + every parameter gradient — including the
+    qkv BIAS gradient, which receives the pad-window-slot dk/dv that the
+    partition-first formulation routes through the Dense."""
+    from mia_tpu.models.sam.image_encoder import Attention
+
+    h, w = hw
+    x = jnp.asarray(rng.standard_normal((2, h, w, dim)), jnp.float32)
+    kw = dict(dim=dim, num_heads=heads, use_rel_pos=True,
+              input_size=(ws, ws), window_size=ws)
+    attn_e = Attention(fused="never", **kw)
+    variables = attn_e.init(jax.random.PRNGKey(0), x)
+    variables = jax.tree.map(
+        lambda a: jnp.asarray(rng.standard_normal(a.shape), a.dtype) * 0.1,
+        variables,
+    )
+    attn_f = Attention(fused="always", **kw)
+    out_e = attn_e.apply(variables, x)
+    out_f = attn_f.apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_e), rtol=1e-4, atol=1e-5
+    )
+
+    def loss(fn):
+        return lambda v: jnp.sum(fn.apply(v, x).astype(jnp.float32) ** 2)
+
+    ge = jax.grad(loss(attn_e))(variables)
+    gf = jax.grad(loss(attn_f))(variables)
+    flat_e = sorted(
+        jax.tree_util.tree_leaves_with_path(ge), key=lambda t: str(t[0])
+    )
+    flat_f = sorted(
+        jax.tree_util.tree_leaves_with_path(gf), key=lambda t: str(t[0])
+    )
+    for (path, a), (_, b) in zip(flat_e, flat_f):
+        assert np.isfinite(np.asarray(b)).all(), path
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=1e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_windowed_attention_gate(rng, monkeypatch):
+    """Configs the windowed kernel cannot tile fall back cleanly: window
+    larger than the grid uses the partition path, and the availability
+    predicate answers without raising."""
+    from mia_tpu.models.sam.image_encoder import Attention
+    from mia_tpu.ops.attention import windowed_attention_available
+
+    monkeypatch.setattr("mia_tpu.ops.attention._WIN_ATTN_TPU", True)
+    assert not windowed_attention_available(2, 8, 14, 8, 8, 2, False)
+    assert windowed_attention_available(12, 64, 14, 32, 32, 2, False)
+
+    # window 14 over an 8x8 grid -> single padded window via partition path
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 16)), jnp.float32)
+    kw = dict(dim=16, num_heads=2, use_rel_pos=True,
+              input_size=(14, 14), window_size=14)
+    attn_e = Attention(fused="never", **kw)
+    variables = attn_e.init(jax.random.PRNGKey(0), x)
+    out_e = attn_e.apply(variables, x)
+    out_f = Attention(fused="always", **kw).apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_e), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_headmajor_fallback_when_no_packed_tiling(rng, monkeypatch):
+    """On TPU, tiny head configs (e.g. heads=2, head_dim=16) have NO packed
+    lane tiling (no G with G*D % 128 == 0) — the encoder must fall back to
+    the head-major fused path instead of raising (advisor finding r2)."""
+    import mia_tpu.models.sam.image_encoder as enc_mod
+    from mia_tpu.ops.attention import packed_attention_available
+
+    assert not packed_attention_available(2, 16, interpret=False)
+
+    # force both the windowed and packed paths off so the fallback runs
+    monkeypatch.setattr(
+        "mia_tpu.ops.attention.windowed_attention_available",
+        lambda *a, **k: False,
+    )
+    monkeypatch.setattr(
+        "mia_tpu.ops.attention.packed_attention_available",
+        lambda *a, **k: False,
+    )
+    x = jnp.asarray(rng.standard_normal((1, 10, 9, 32)), jnp.float32)
+    kw = dict(dim=32, num_heads=2, use_rel_pos=True,
+              input_size=(4, 4), window_size=4)
+    attn_e = enc_mod.Attention(fused="never", **kw)
+    variables = attn_e.init(jax.random.PRNGKey(0), x)
+    out_e = attn_e.apply(variables, x)
+    out_f = enc_mod.Attention(fused="always", **kw).apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_e), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_fused_rel_packed_matches_headmajor(rng):
     """Packed (B, N, 3HD) kernel vs the head-major kernel and the dense-bias
     einsum, fwd + grads, at an unaligned window shape."""

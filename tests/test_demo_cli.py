@@ -76,6 +76,60 @@ def test_cli_visualize(tmp_path, rng):
     assert np.array(Image.open(out)).shape == (16, 16, 3)
 
 
+def test_serve_entry_builds_blocks_against_stub_gradio(tmp_path, monkeypatch):
+    """Instantiate the full Gradio Blocks wiring (reference
+    ``serve.py:377-382``) against a stub ``gradio`` module: every component
+    must be constructed and every event handler registered, with no real UI."""
+    import sys
+    import types
+
+    events = {"change": 0, "click": 0, "select": 0, "launched": []}
+
+    class _Component:
+        def __init__(self, *a, **k):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def change(self, fn, inputs=None, outputs=None):
+            events["change"] += 1
+
+        def click(self, fn, inputs=None, outputs=None):
+            events["click"] += 1
+
+        def select(self, fn, inputs=None, outputs=None):
+            events["select"] += 1
+
+        def launch(self, **k):
+            events["launched"].append(k)
+
+    gr = types.ModuleType("gradio")
+    for name in (
+        "Blocks", "Accordion", "Row", "Gallery", "Number", "Text", "Button",
+        "ImageEditor", "Brush", "DownloadButton",
+    ):
+        setattr(gr, name, type(name, (_Component,), {}))
+    gr.SelectData = type("SelectData", (), {})
+    monkeypatch.setitem(sys.modules, "gradio", gr)
+
+    import mia_tpu.entry.demo.serve as serve_mod
+
+    monkeypatch.setattr(
+        serve_mod, "DemoSession",
+        lambda *a, **k: DemoSession(data_dir=tmp_path, image_size=32),
+    )
+    serve_mod.serve_entry()
+
+    assert events["launched"] == [{"inbrowser": True}]
+    assert events["change"] == 7  # 2 galleries + 5 config inputs
+    assert events["click"] == 2  # select + accept
+    assert events["select"] == 1  # selected gallery -> editor
+
+
 def test_demo_feature_provider_injection(tmp_path):
     """A fake provider drops in for BiomedCLIP (reference serve.py:48-104):
     active_select must consume ITS features."""
