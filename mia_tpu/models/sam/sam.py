@@ -273,6 +273,27 @@ class SamDualmask(nn.Module):
             multimask_output,
         )
 
+    def raw_decoder_softmaxes(self, image_embeddings, multimask_output=True):
+        """Stop-gradient softmaxes of every decoder's UNPROMPTED no-dropout
+        logits, stacked (n, B, H, W, C) — the shared ingredients of the
+        per-``prompt_idx`` pseudo-label ensembles (mean over the other
+        decoders), so the CPC-SAM phase-2 trainer can batch all three
+        decoders' prompt generations into ONE program."""
+        sparse, dense = self.prompt_encoder()
+        sparse = jax.lax.stop_gradient(sparse)
+        dense = jax.lax.stop_gradient(dense)
+        outs = []
+        for idx in range(self.num_decoders):
+            lrl, _, _ = self._run_decoder(
+                idx, image_embeddings, sparse, dense, multimask_output
+            )
+            outs.append(
+                jax.nn.softmax(
+                    jax.lax.stop_gradient(lrl).astype(jnp.float32), axis=-1
+                )
+            )
+        return jnp.stack(outs)
+
     def __call__(
         self,
         batched_input,
@@ -282,6 +303,7 @@ class SamDualmask(nn.Module):
         prompt_mode=None,
         image_embeddings=None,
         train: bool = False,
+        prompts=None,
     ):
         return self.forward_train(
             batched_input,
@@ -291,6 +313,7 @@ class SamDualmask(nn.Module):
             prompt_mode,
             image_embeddings,
             train=train,
+            prompts=prompts,
         )
 
     def forward_train(
@@ -302,11 +325,17 @@ class SamDualmask(nn.Module):
         prompt_mode=None,
         image_embeddings=None,
         train: bool = False,
+        prompts=None,
     ):
         """``prompt_idx``/``prompt_mode`` STATIC. With ``prompt_idx >= 0``
         the other decoders run unprompted, their softmax ensemble becomes the
         pseudo-label for prompt generation, and decoder ``prompt_idx`` runs
-        twice (center/fit vs random/loose prompts) (``:216-338``)."""
+        twice (center/fit vs random/loose prompts) (``:216-338``).
+
+        ``prompts`` injects precomputed prompt tensors (the 5-tuple returned
+        by ``prompt_generate_random_fast``), skipping the in-call ensemble +
+        generation — used by the trainer's batched phase-2 path and by
+        parity harnesses that need fixed prompts."""
         if image_embeddings is None:
             image_embeddings = self.get_image_embeddings(batched_input)
 
@@ -343,6 +372,7 @@ class SamDualmask(nn.Module):
         iou_predictions_r = [None] * n
         dense_features_r = [None] * n
 
+        need_assemble = 0 <= prompt_idx < n and prompts is None
         assemble = 0.0
         for idx in range(n):
             if idx == prompt_idx:
@@ -350,6 +380,8 @@ class SamDualmask(nn.Module):
             low_res_logits[idx], iou_predictions[idx], dense_features[idx] = (
                 self._run_decoder(idx, dropout_embeddings, sparse, dense, multimask_output)
             )
+            if not need_assemble:
+                continue
             if self.dropout_rate > 0 and train:
                 raw_logit, _, _ = self._run_decoder(
                     idx, image_embeddings, sparse, dense, multimask_output
@@ -364,22 +396,31 @@ class SamDualmask(nn.Module):
         assemble = assemble / (n - 1)
 
         if 0 <= prompt_idx < n:
-            prompt_rng = self.make_rng("prompt")
-            (
-                points_prompt,
-                points_prompt_random,
-                fit_boxes,
-                loose_boxes,
-                mask_prompt,
-            ) = prompt_generate_random_fast(
-                prompt_rng,
-                assemble,
-                image_size,
-                (self.embedding_size * 4, self.embedding_size * 4),
-                self.num_points_prompt,
-                self.bbox_change_rate,
-                israndom=True,
-            )
+            if prompts is not None:
+                (
+                    points_prompt,
+                    points_prompt_random,
+                    fit_boxes,
+                    loose_boxes,
+                    mask_prompt,
+                ) = prompts
+            else:
+                prompt_rng = self.make_rng("prompt")
+                (
+                    points_prompt,
+                    points_prompt_random,
+                    fit_boxes,
+                    loose_boxes,
+                    mask_prompt,
+                ) = prompt_generate_random_fast(
+                    prompt_rng,
+                    assemble,
+                    image_size,
+                    (self.embedding_size * 4, self.embedding_size * 4),
+                    self.num_points_prompt,
+                    self.bbox_change_rate,
+                    israndom=True,
+                )
             sparse_p, sparse_r, dense_p = self._get_prompt_embeddings(
                 points_prompt, points_prompt_random, fit_boxes, loose_boxes,
                 mask_prompt, prompt,

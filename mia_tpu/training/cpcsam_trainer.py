@@ -37,6 +37,7 @@ from ..models.sam import (
     sam_model_registry,
     save_lora_bytes,
 )
+from ..models.sam.prompt_generation import prompt_generate_random_fast
 from ..models.sam.validation import test_single_volume, test_single_volume_mean
 from ..schedule import poly_warmup_schedule, sigmoid_ramp_up
 from ..utils.common import get_path
@@ -65,6 +66,7 @@ class CPCSAMConfig:
         dropout_rate: float = 0.0,
         num_points_prompt=(1, 2),
         bbox_change_rate=(0.1, 0.2),
+        prompt_compute_size: int = 64,
         compute_dtype: str = "float32",
         # Data parameters
         dataset: str = "ACDC",
@@ -128,6 +130,9 @@ class CPCSAMConfig:
         self.dropout_rate = dropout_rate
         self.num_points_prompt = tuple(num_points_prompt)
         self.bbox_change_rate = tuple(bbox_change_rate)
+        # resolution cap for the phase-2 CC/EDT prompt machinery (positions
+        # are random-jittered anyway; compute_at_native=0 disables the cap)
+        self.prompt_compute_size = prompt_compute_size
         self.compute_dtype = compute_dtype
 
         self.dataset = dataset
@@ -484,7 +489,8 @@ class CPCSAMTrainer(BaseTrainer):
         lbs = cfg.labeled_batch_size
         num_decoders = model.num_decoders
 
-        def apply_model(params, images, rng, prompt_idx, image_embeddings=None):
+        def apply_model(params, images, rng, prompt_idx, image_embeddings=None,
+                        prompts=None):
             prompt_rng, drop_rng = jax.random.split(rng)
             return model.apply(
                 {"params": params},
@@ -495,8 +501,47 @@ class CPCSAMTrainer(BaseTrainer):
                 cfg.promptmode if prompt_idx >= 0 else None,
                 image_embeddings,
                 train=True,
+                prompts=prompts,
                 rngs={"prompt": prompt_rng, "dropout": drop_rng},
             )
+
+        def batched_prompts(params, image_embeddings, rng):
+            """ONE prompt-generation program for ALL decoders (axis n·B).
+
+            The reference regenerates prompts per ``prompt_idx`` from the
+            ensemble of the OTHER decoders (three separate CC/EDT programs
+            per step, ``sam_dualmask...py:508-645``); the per-idx ensembles
+            are all derivable from the n raw softmaxes, so the CC while-loop
+            sweeps — the dominant phase-2 cost — run once over a 3× batch
+            instead of three times sequentially."""
+            n = num_decoders
+            raws = head(params, "raw_decoder_softmaxes", image_embeddings)
+            total_soft = jnp.sum(raws, axis=0)
+            assembles = jnp.stack(
+                [(total_soft - raws[p]) / (n - 1) for p in range(n)]
+            )  # (n, B, H, W, C)
+            nb = assembles.shape[0] * assembles.shape[1]
+            flat = assembles.reshape((nb,) + assembles.shape[2:])
+            emb = model.img_size // 16
+            prompts_flat = prompt_generate_random_fast(
+                rng,
+                flat,
+                cfg.image_size,
+                (emb * 4, emb * 4),
+                cfg.num_points_prompt,
+                cfg.bbox_change_rate,
+                israndom=True,
+                compute_at_native=cfg.prompt_compute_size <= 0,
+                max_compute_size=cfg.prompt_compute_size or 128,
+            )
+
+            def unstack(p):
+                def split(t):
+                    return t.reshape((n, -1) + t.shape[1:])[p]
+
+                return jax.tree.map(split, prompts_flat)
+
+            return [unstack(p) for p in range(n)]
 
         def embed(params, images):
             return model.apply(
@@ -541,7 +586,7 @@ class CPCSAMTrainer(BaseTrainer):
             )
 
         def losses_fn(params, memory, images, labels, rng, step, phase2: bool):
-            rngs = jax.random.split(rng, 8)
+            rngs = jax.random.split(rng, 9)
             image_embeddings = embed(params, images)
             outputs = apply_model(params, images, rngs[0], -1, image_embeddings)
 
@@ -562,9 +607,11 @@ class CPCSAMTrainer(BaseTrainer):
             loss2 = 0.0
             if phase2:
                 sup2 = sup2_r = cons2 = cons2_r = 0.0
+                all_prompts = batched_prompts(params, image_embeddings, rngs[8])
                 for prompt_idx in range(num_decoders):
                     out2 = apply_model(
-                        params, images, rngs[1 + prompt_idx], prompt_idx, image_embeddings
+                        params, images, rngs[1 + prompt_idx], prompt_idx,
+                        image_embeddings, prompts=all_prompts[prompt_idx],
                     )
                     lrl_p = out2["low_res_logits"][prompt_idx]
                     lrl_pr = out2["low_res_logits_r"][prompt_idx]

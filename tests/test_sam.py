@@ -126,6 +126,71 @@ def test_prompt_points_land_on_class(rng):
     np.testing.assert_array_equal(box, [[4, 4], [9, 9]])
 
 
+def test_dualmask_prompt_injection(dual_setup):
+    """``prompts=`` bypasses the in-call ensemble + generation: injected
+    fixed prompts must drive the prompted decoder (trainer batched path and
+    parity harnesses rely on this)."""
+    model, variables, x = dual_setup
+    b, c = x.shape[0], TINY["num_classes"] + 1
+    max_pts = 2
+    coords = jnp.full((b, c * max_pts, 2), 10.0)
+    labels = jnp.tile(jnp.repeat(jnp.arange(c), max_pts)[None], (b, 1)).astype(jnp.int32)
+    boxes = jnp.tile(
+        jnp.asarray([[[4.0, 4.0], [40.0, 40.0]]])[None], (b, c - 1, 1, 1)
+    )
+    box_labels = jnp.zeros((b, c - 1), jnp.int32)
+    mask_prompt = jnp.zeros((b, 16, 16, 1), jnp.float32)
+    prompts = (
+        (coords, labels), (coords + 1.0, labels),
+        (boxes, box_labels), (boxes, box_labels), mask_prompt,
+    )
+    out = model.apply(
+        variables, x, True, 64, 0, ["point"],
+        prompts=prompts,
+        rngs={"prompt": jax.random.PRNGKey(9)},
+    )
+    assert out["low_res_logits"][0].shape == (2, 64, 64, 4)
+    assert np.isfinite(np.asarray(out["low_res_logits"][0])).all()
+    # identical injected prompts -> rerun is deterministic
+    out2 = model.apply(
+        variables, x, True, 64, 0, ["point"],
+        prompts=prompts,
+        rngs={"prompt": jax.random.PRNGKey(1234)},  # different key: unused
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["low_res_logits"][0]), np.asarray(out2["low_res_logits"][0])
+    )
+
+
+def test_batched_prompt_generation_per_decoder_validity(rng):
+    """The trainer batches all decoders' generations on one 3·B axis with
+    the 64² compute cap: every decoder's class-1 points must still land
+    inside the class-1 structure of ITS pseudo-label."""
+    n, b = 3, 2
+    probs = np.zeros((n * b, 32, 32, 3), np.float32)
+    probs[..., 0] = 1.0
+    # a different class-1 square per decoder so cross-talk would be caught
+    squares = [(4, 12, 4, 12), (16, 24, 6, 14), (8, 20, 18, 28)]
+    for p in range(n):
+        y0, y1, x0, x1 = squares[p]
+        for i in range(b):
+            probs[p * b + i, y0:y1, x0:x1, :] = 0.0
+            probs[p * b + i, y0:y1, x0:x1, 1] = 1.0
+    pts, _, _, _, _ = prompt_generate_random_fast(
+        jax.random.PRNGKey(0), jnp.asarray(probs), 32, (16, 16), (1, 1),
+        (0.0, 0.0), max_compute_size=64,
+    )
+    coords = np.asarray(pts[0]).reshape(n, b, -1, 2)
+    labels = np.asarray(pts[1]).reshape(n, b, -1)
+    for p in range(n):
+        y0, y1, x0, x1 = squares[p]
+        for i in range(b):
+            cls1 = coords[p, i][labels[p, i] == 1]
+            assert len(cls1)
+            for x, y in cls1:
+                assert y0 <= y < y1 and x0 <= x < x1, (p, i, x, y)
+
+
 def test_lora_mask_and_state_dict():
     model = SamDualmask(num_decoders=2, lora_rank=2, **{**TINY, "encoder_depth": 1})
     x = jnp.ones((1, 64, 64, 3), jnp.float32)
