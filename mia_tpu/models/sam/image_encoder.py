@@ -125,6 +125,19 @@ def add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_size, k_size):
     return attn.reshape(b, heads, q_h * q_w, k_h * k_w)
 
 
+def _window_pad_mask(pad_hw, hw, ws: int) -> np.ndarray:
+    """Static (nW, ws, ws, 1) 0/1 mask of REAL tokens in the partitioned
+    layout (used by shared-partition runs to re-zero pad tokens, which is
+    exactly what a fresh ``window_partition`` after LN1 would produce)."""
+    hp, wp = pad_hw
+    h, w = hw
+    nwy, nwx = hp // ws, wp // ws
+    rows = (np.arange(nwy)[:, None] * ws + np.arange(ws)[None, :]) < h
+    cols = (np.arange(nwx)[:, None] * ws + np.arange(ws)[None, :]) < w
+    mask = rows[:, None, :, None] & cols[None, :, None, :]
+    return mask.reshape(nwy * nwx, ws, ws, 1).astype(np.float32)
+
+
 class Attention(nn.Module):
     """Multi-head attention with optional decomposed rel-pos and optional
     LoRA adapters on q and v (``image_encoder.py:185-240`` +
@@ -133,7 +146,13 @@ class Attention(nn.Module):
     On TPU the scores→softmax→@v pass runs as a fused Pallas kernel
     (``mia_tpu.ops.attention``) per (batch·head, q-block) instead of
     materializing the score tensor in HBM; elsewhere (and with
-    ``fused="never"``) the plain einsum path runs."""
+    ``fused="never"``) the plain einsum path runs.
+
+    ``pre_windowed``: the input is ALREADY in the partitioned
+    (B·nW, ws, ws, C) layout (shared across a run of consecutive windowed
+    blocks); pad tokens are re-zeroed in place of a fresh partition and the
+    context is returned without unpartitioning. ``grid_hw`` carries the
+    static ((hp, wp), (h, w)) geometry for the pad mask."""
 
     dim: int
     num_heads: int = 8
@@ -144,6 +163,8 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused: str = "auto"  # "auto" | "always" | "never"
     window_size: int = 0  # 0 = global; >0 = window attention handled here
+    pre_windowed: bool = False
+    grid_hw: Tuple[Tuple[int, int], Tuple[int, int]] | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -151,6 +172,20 @@ class Attention(nn.Module):
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
         ws = self.window_size
+
+        already_windowed = self.pre_windowed and ws > 0
+        if already_windowed:
+            # shared-partition run: input is (B·nW, ws, ws, C) with stale pad
+            # tokens; re-zeroing them reproduces exactly what a fresh
+            # ``window_partition`` of the post-LN1 grid would contain.
+            pad_hw, hw_real = self.grid_hw
+            mask = jnp.asarray(
+                _window_pad_mask(pad_hw, hw_real, ws), self.dtype
+            )
+            nw = mask.shape[0]
+            x = (x.reshape(b // nw, nw, ws, ws, -1) * mask[None]).reshape(
+                x.shape
+            )
 
         qkv_dense = nn.Dense(
             self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
@@ -200,7 +235,7 @@ class Attention(nn.Module):
             interpret = jax.default_backend() != "tpu"
             itemsize = jnp.dtype(self.dtype).itemsize
 
-            if ws > 0 and windowed_attention_available(
+            if ws > 0 and not already_windowed and windowed_attention_available(
                 self.num_heads, head_dim, ws, full_h, full_w, itemsize,
                 interpret,
             ):
@@ -251,8 +286,10 @@ class Attention(nn.Module):
                 # 3×-wider partition copy outweighed the Dense savings, see
                 # docs/PERF.md — and is superseded by the grid-native path
                 # above).
-                if ws > 0:
+                if ws > 0 and not already_windowed:
                     x, pad_hw = window_partition(x, ws)
+                    h = w = ws
+                elif ws > 0:
                     h = w = ws
                 else:
                     h, w = full_h, full_w
@@ -273,7 +310,7 @@ class Attention(nn.Module):
                     interpret,
                 )
                 out = out.astype(self.dtype).reshape(bw, h, w, self.dim)
-                if ws > 0:
+                if ws > 0 and not already_windowed:
                     out = window_unpartition(out, ws, pad_hw, (full_h, full_w))
                 # proj commutes with the unpartition slice (linear per token)
                 return proj(out)
@@ -282,8 +319,10 @@ class Attention(nn.Module):
             # this (heads, head_dim) — e.g. tiny test configs where no head
             # group G has (G·head_dim) % 128 == 0. The d-lane kernel blocks
             # of this path are always legal.
-            if ws > 0:
+            if ws > 0 and not already_windowed:
                 x, pad_hw = window_partition(x, ws)
+                h = w = ws
+            elif ws > 0:
                 h = w = ws
             else:
                 h, w = full_h, full_w
@@ -310,13 +349,15 @@ class Attention(nn.Module):
             out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(
                 bw, h, w, self.dim
             )
-            if ws > 0:
+            if ws > 0 and not already_windowed:
                 out = window_unpartition(out, ws, pad_hw, (full_h, full_w))
             return proj(out)
 
-        if ws > 0:
+        if ws > 0 and not already_windowed:
             # reference ordering: pad+partition the INPUT, Dense on windows
             x, pad_hw = window_partition(x, ws)
+            h = w = ws
+        elif ws > 0:
             h = w = ws
         else:
             h, w = full_h, full_w
@@ -355,13 +396,18 @@ class Attention(nn.Module):
             )
 
         out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(bw, h, w, self.dim)
-        if ws > 0:
+        if ws > 0 and not already_windowed:
             out = window_unpartition(out, ws, pad_hw, (full_h, full_w))
         return proj(out)
 
 
 class Block(nn.Module):
-    """Transformer block with window/global attention (``:119-182``)."""
+    """Transformer block with window/global attention (``:119-182``).
+
+    ``pre_windowed``: the block runs inside a shared-partition run — its
+    input/output stay in the (B·nW, ws, ws, C) layout and Attention re-zeros
+    pad tokens instead of re-partitioning (numerically identical for every
+    real token: LN/MLP/residual are per-token)."""
 
     dim: int
     num_heads: int
@@ -373,6 +419,8 @@ class Block(nn.Module):
     lora_rank: int = 0
     dtype: jnp.dtype = jnp.float32
     fused: str = "auto"
+    pre_windowed: bool = False
+    grid_hw: Tuple[Tuple[int, int], Tuple[int, int]] | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -394,6 +442,8 @@ class Block(nn.Module):
             dtype=self.dtype,
             fused=self.fused,
             window_size=self.window_size,
+            pre_windowed=self.pre_windowed,
+            grid_hw=self.grid_hw,
             name="attn",
         )(x)
         x = shortcut + x
@@ -419,6 +469,10 @@ class ImageEncoderViT(nn.Module):
     lora_rank: int = 0
     dtype: jnp.dtype = jnp.float32
     fused: str = "auto"
+    # keep consecutive windowed blocks in ONE shared partitioned layout
+    # (partition once per run, re-zero pads per block) — numerically
+    # identical for real tokens, and removes ~half the partition copies
+    share_window_runs: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -438,8 +492,8 @@ class ImageEncoderViT(nn.Module):
             )
             x = x + pos.astype(self.dtype)
 
-        for i in range(self.depth):
-            x = Block(
+        def make_block(i, pre_windowed=False, grid_hw=None):
+            return Block(
                 dim=self.embed_dim,
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
@@ -450,8 +504,36 @@ class ImageEncoderViT(nn.Module):
                 lora_rank=self.lora_rank,
                 dtype=self.dtype,
                 fused=self.fused,
+                pre_windowed=pre_windowed,
+                grid_hw=grid_hw,
                 name=f"block{i}",
-            )(x)
+            )
+
+        ws = self.window_size
+        i = 0
+        while i < self.depth:
+            windowed = ws > 0 and i not in self.global_attn_indexes
+            j = i
+            while (
+                self.share_window_runs
+                and windowed
+                and j < self.depth
+                and j not in self.global_attn_indexes
+            ):
+                j += 1
+            if windowed and j - i >= 2:
+                # shared-partition run: one partition/unpartition for the
+                # whole run of consecutive windowed blocks
+                hw = (x.shape[1], x.shape[2])
+                x, pad_hw = window_partition(x, ws)
+                for k in range(i, j):
+                    x = make_block(k, pre_windowed=True,
+                                   grid_hw=(pad_hw, hw))(x)
+                x = window_unpartition(x, ws, pad_hw, hw)
+                i = j
+            else:
+                x = make_block(i)(x)
+                i += 1
 
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype, name="neck_conv1")(x)
         x = LayerNorm2d(dtype=self.dtype, name="neck_norm1")(x)

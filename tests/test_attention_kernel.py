@@ -221,6 +221,46 @@ def test_windowed_attention_gate(rng, monkeypatch):
     )
 
 
+def test_shared_window_run_matches_per_block_partition(rng):
+    """A run of consecutive windowed blocks under ONE shared partition
+    (pads re-zeroed per block) must match the per-block partition path
+    exactly — outputs and every parameter gradient."""
+    from mia_tpu.models.sam.image_encoder import ImageEncoderViT
+
+    kw = dict(
+        img_size=40, patch_size=4, embed_dim=32, depth=3, num_heads=2,
+        use_rel_pos=True, window_size=4, global_attn_indexes=(2,),
+        out_chans=16,
+    )  # blocks 0,1 windowed (10x10 grid, pad to 12) -> one shared run
+    x = jnp.asarray(rng.standard_normal((2, 40, 40, 3)), jnp.float32)
+    enc_shared = ImageEncoderViT(share_window_runs=True, **kw)
+    enc_plain = ImageEncoderViT(share_window_runs=False, **kw)
+    variables = enc_plain.init(jax.random.PRNGKey(0), x)
+    variables = jax.tree.map(
+        lambda a: jnp.asarray(rng.standard_normal(a.shape), a.dtype) * 0.1,
+        variables,
+    )
+    out_p = enc_plain.apply(variables, x)
+    out_s = enc_shared.apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(out_p), rtol=1e-5, atol=1e-6
+    )
+
+    def loss(enc):
+        return lambda v: jnp.sum(enc.apply(v, x).astype(jnp.float32) ** 2)
+
+    gp = jax.grad(loss(enc_plain))(variables)
+    gs = jax.grad(loss(enc_shared))(variables)
+    for (path, a), (_, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(gp), key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(gs), key=lambda t: str(t[0])),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_headmajor_fallback_when_no_packed_tiling(rng, monkeypatch):
     """On TPU, tiny head configs (e.g. heads=2, head_dim=16) have NO packed
     lane tiling (no G with G*D % 128 == 0) — the encoder must fall back to
