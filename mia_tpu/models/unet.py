@@ -37,6 +37,19 @@ class UNetConfig:
     ds_layer: int = 0
     kernel_size: int = 3
     compute_dtype: jnp.dtype = jnp.float32
+    # route convs through ops/conv.py::FusedBiasConv (barrier-materialized
+    # backward cotangent). Measured NEGATIVE on TPU — device busy 120.6 ms
+    # vs 114.9 ms stock at the flagship shape (docs/PERF.md §7) — so the
+    # default is the stock nn.Conv path; the knob and its parity tests
+    # remain as the documented attempt.
+    fused_bias_grad: bool = False
+    # decoder upsampling as one wide GEMM + interleave reshape instead of
+    # lax.conv_transpose (see EinsumConvTranspose2x). Measured NEGATIVE on
+    # TPU (device busy 122.0 vs 114.9 ms at the flagship shape — the
+    # interleave materializes as 6.9 ms of data-formatting copies, more
+    # than the 3.1 ms of `reverse` it removes; docs/PERF.md §7), so the
+    # default stays on the stock ConvTranspose lowering.
+    einsum_upsample: bool = False
 
     @property
     def num_levels(self) -> int:
@@ -89,6 +102,17 @@ def _leaky_relu(x):
 def _conv(cfg: UNetConfig, features: int, kernel: int, stride: int, name=None):
     nd = cfg.dimension
     pad = (kernel - 1) // 2
+    if cfg.fused_bias_grad:
+        from ..ops.conv import FusedBiasConv
+
+        return FusedBiasConv(
+            features=features,
+            kernel_size=(kernel,) * nd,
+            strides=(stride,) * nd,
+            padding=((pad, pad),) * nd,
+            dtype=cfg.compute_dtype,
+            name=name,
+        )
     return nn.Conv(
         features=features,
         kernel_size=(kernel,) * nd,
@@ -156,6 +180,62 @@ def _block(cfg: UNetConfig):
     return {"plain": PlainBlock, "res": ResidualBlock}[cfg.block_type]
 
 
+class EinsumConvTranspose2x(nn.Module):
+    """Drop-in for ``nn.ConvTranspose(kernel_size=(2,)*nd, strides=(2,)*nd,
+    padding='VALID')`` — identical param names/shapes (checkpoint
+    compatible) and identical math up to f32 accumulation order.
+
+    A k=2, s=2 transposed conv assigns each output pixel exactly ONE kernel
+    tap: ``y[b, 2i+di, 2j+dj, f] = sum_c x[b,i,j,c] · K[1-di, 1-dj, c, f]``
+    (tap indices reversed by the fractional-stride construction), so the
+    whole op is one GEMM of shape (B·H·W, C) × (C, 2^nd·F) plus an
+    interleave reshape. The hope was (a) full MXU output lanes where the
+    strided-conv lowering gets only F (F=32 at the flagship top level →
+    25% lane use) and (b) no full-activation ``reverse`` ops in the
+    backward. Measured NEGATIVE at the flagship shape (docs/PERF.md §7):
+    the interleave reshape materializes as 6.9 ms of data-formatting
+    copies — more than the 3.1 ms of reverses it removes — so
+    ``UNetConfig.einsum_upsample`` defaults to False and this stays as the
+    documented attempt (exact-parity tested, 2D+3D, fwd+grads).
+    Reference counterpart: ``nn.ConvTranspose2d(k=2, s=2)`` in
+    ``src/models/unet/unet.py`` (decoder ``up`` stages).
+    """
+
+    features: int
+    dimension: int = 2
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        nd = self.dimension
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*(2,) * nd, x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+        )
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype
+        )
+        # reverse every tap axis; emit tap dims interleaved with spatial dims
+        # directly from the einsum so the final reshape is a free dim-merge
+        # (row-major (b,h,i,w,j,f) == (b,2h,2w,f))
+        w = kernel[(slice(None, None, -1),) * nd]
+        if nd == 2:
+            b, h, ww, c = x.shape
+            y = jnp.einsum("bhwc,ijcf->bhiwjf", x, w)
+            y = y.reshape(b, 2 * h, 2 * ww, self.features)
+        else:
+            b, d, h, ww, c = x.shape
+            y = jnp.einsum("bdhwc,ijkcf->bdihjwkf", x, w)
+            y = y.reshape(b, 2 * d, 2 * h, 2 * ww, self.features)
+        return y + bias
+
+
 class UNetEncoder(nn.Module):
     cfg: UNetConfig
 
@@ -192,14 +272,22 @@ class UNetDecoder(nn.Module):
         ds_outputs, ds_feats = [], []
         for l in range(num_upsample):
             features = down_channels[l + 1]
-            x = nn.ConvTranspose(
-                features=features,
-                kernel_size=(2,) * nd,
-                strides=(2,) * nd,
-                padding="VALID",
-                dtype=cfg.compute_dtype,
-                name=f"up{l}",
-            )(x)
+            if cfg.einsum_upsample:
+                x = EinsumConvTranspose2x(
+                    features=features,
+                    dimension=nd,
+                    dtype=cfg.compute_dtype,
+                    name=f"up{l}",
+                )(x)
+            else:
+                x = nn.ConvTranspose(
+                    features=features,
+                    kernel_size=(2,) * nd,
+                    strides=(2,) * nd,
+                    padding="VALID",
+                    dtype=cfg.compute_dtype,
+                    name=f"up{l}",
+                )(x)
             skip = skips[-(l + 2)]
             # reference concatenates (skip, upsampled) on the channel axis
             x = jnp.concatenate([skip, x], axis=-1)
@@ -209,12 +297,7 @@ class UNetDecoder(nn.Module):
             if l in ds_layer_list:
                 # Params must exist regardless of return_ds, so the head is
                 # always constructed; XLA dead-code-eliminates unused outputs.
-                ds = nn.Conv(
-                    features=cfg.out_classes,
-                    kernel_size=(1,) * nd,
-                    dtype=cfg.compute_dtype,
-                    name=f"ds{l}_conv",
-                )(x)
+                ds = _conv(cfg, cfg.out_classes, 1, 1, name=f"ds{l}_conv")(x)
                 if return_ds:
                     up_factor = features // down_channels[-1]
                     from ..ops import resize
@@ -224,12 +307,7 @@ class UNetDecoder(nn.Module):
                     ds_outputs.append(ds)
                     ds_feats.append(x)
 
-        logits = nn.Conv(
-            features=cfg.out_classes,
-            kernel_size=(1,) * nd,
-            dtype=cfg.compute_dtype,
-            name="seg_output",
-        )(x)
+        logits = _conv(cfg, cfg.out_classes, 1, 1, name="seg_output")(x)
 
         if return_ds:
             outs = [logits] + ds_outputs[::-1]

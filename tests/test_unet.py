@@ -89,6 +89,42 @@ def test_conv_transpose_conversion(rng):
     )
 
 
+@pytest.mark.parametrize("nd,shape", [(2, (3, 5, 7, 6)), (3, (2, 4, 5, 3, 6))])
+def test_einsum_upsample_matches_conv_transpose(rng, nd, shape):
+    """EinsumConvTranspose2x == nn.ConvTranspose(k2,s2,VALID): same params,
+    same forward, same grads (it is the production decoder upsample —
+    ``UNetConfig.einsum_upsample`` — chosen for MXU lane width and to avoid
+    XLA's full-activation ``reverse`` in conv_transpose backward)."""
+    import flax.linen as nn
+
+    from mia_tpu.models.unet import EinsumConvTranspose2x
+
+    x = jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+    ref = nn.ConvTranspose(
+        features=10, kernel_size=(2,) * nd, strides=(2,) * nd, padding="VALID"
+    )
+    mod = EinsumConvTranspose2x(features=10, dimension=nd)
+    v = ref.init(jax.random.PRNGKey(0), x)
+    y0, y1 = ref.apply(v, x), mod.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+
+    def loss(mod_, v_, x_):
+        return jnp.sum(jnp.sin(mod_.apply(v_, x_)))
+
+    g0 = jax.grad(lambda v_: loss(ref, v_, x))(v)
+    g1 = jax.grad(lambda v_: loss(mod, v_, x))(v)
+    for name in ("kernel", "bias"):
+        np.testing.assert_allclose(
+            np.asarray(g0["params"][name]),
+            np.asarray(g1["params"][name]),
+            atol=1e-5,
+            err_msg=name,
+        )
+    dx0 = jax.grad(lambda x_: loss(ref, v, x_))(x)
+    dx1 = jax.grad(lambda x_: loss(mod, v, x_))(x)
+    np.testing.assert_allclose(np.asarray(dx0), np.asarray(dx1), atol=1e-5)
+
+
 def test_deep_supervision_shapes():
     cfg = UNetConfig(
         in_channels=1,
