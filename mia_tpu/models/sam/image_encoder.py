@@ -47,6 +47,68 @@ def window_unpartition(windows, window_size: int, pad_hw, hw):
     return x[:, :h, :w]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _partition_onehot(h: int, w: int, ws: int) -> np.ndarray:
+    """Static (nW·ws·ws, h·w) 0/1 matrix mapping the token-major grid to
+    the windowed layout (row order = window_partition's output order);
+    pad slots are all-zero rows, so P@x zero-fills them exactly like the
+    reference's pre-partition ``jnp.pad``."""
+    hp = -(-h // ws) * ws
+    wp = -(-w // ws) * ws
+    nwy, nwx = hp // ws, wp // ws
+    p = np.zeros((nwy * nwx * ws * ws, h * w), np.float32)
+    m = 0
+    for wy in range(nwy):
+        for wx in range(nwx):
+            for dy in range(ws):
+                for dx in range(ws):
+                    y, x = wy * ws + dy, wx * ws + dx
+                    if y < h and x < w:
+                        p[m, y * w + x] = 1.0
+                    m += 1
+    return p
+
+
+def window_partition_matmul(x: jnp.ndarray, window_size: int):
+    """``window_partition`` as a one-hot einsum (exact: every output row
+    selects exactly one token or is a zero pad slot).
+
+    The idea (same trick as ``transforms.affine_warp_twopass``): ride the
+    MXU instead of the reshape/transpose sublane shuffle. Measured
+    NEGATIVE in the ViT-B/512 encoder (fwd+bwd device busy 97.8 ms vs
+    93.1 ms with the reshape lowering — the einsum GEMMs cost more than
+    the copies they replace, and XLA's dominant data-formatting time
+    turns out to be qkv-cotangent layout copies the partition choice
+    doesn't touch; docs/PERF.md §8). Kept exact-parity-tested for grids
+    where a permutation matmul wins; the production encoder uses
+    ``window_partition``. Backward is automatically the transposed
+    (unpartition) einsum."""
+    b, h, w, c = x.shape
+    ws = window_size
+    p = jnp.asarray(_partition_onehot(h, w, ws), x.dtype)
+    hp, wp = -(-h // ws) * ws, -(-w // ws) * ws
+    win = jnp.einsum("mn,bnc->bmc", p, x.reshape(b, h * w, c))
+    return win.reshape(-1, ws, ws, c), (hp, wp)
+
+
+def window_unpartition_matmul(windows, window_size: int, pad_hw, hw):
+    """Exact inverse of ``window_partition_matmul`` (each real token lives
+    in exactly one window row, pad rows drop out)."""
+    hp, wp = pad_hw
+    h, w = hw
+    ws = window_size
+    nw = (hp // ws) * (wp // ws)
+    b = windows.shape[0] // nw
+    p = jnp.asarray(_partition_onehot(h, w, ws), windows.dtype)
+    y = jnp.einsum(
+        "mn,bmc->bnc", p, windows.reshape(b, nw * ws * ws, windows.shape[-1])
+    )
+    return y.reshape(b, h, w, windows.shape[-1])
+
+
 def _rel_pos_indices(q_size: int, k_size: int) -> np.ndarray:
     """Static gather indices into a (2·max(q,k)−1, C) rel-pos table
     (``get_rel_pos``, ``:283-311``)."""
@@ -471,8 +533,12 @@ class ImageEncoderViT(nn.Module):
     fused: str = "auto"
     # keep consecutive windowed blocks in ONE shared partitioned layout
     # (partition once per run, re-zero pads per block) — numerically
-    # identical for real tokens, and removes ~half the partition copies
-    share_window_runs: bool = True
+    # identical for real tokens and removes ~half the partition copies,
+    # BUT measured NEGATIVE on TPU at ViT-B/512 b8: the MLP/LN of every
+    # block after the first in a run pay for 72% more (pad) tokens, which
+    # costs more than the saved copies (fwd 190.4 vs 235.9 img/s, fwd+bwd
+    # 70.4 vs 82.9 — docs/PERF.md §6). Default off; exact-parity tested.
+    share_window_runs: bool = False
 
     @nn.compact
     def __call__(self, x):
