@@ -15,6 +15,7 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..unet import EinsumConvTranspose2x
 from .common import LayerNorm2d
 
 
@@ -55,9 +56,14 @@ class _Upscaler(nn.Module):
         else:
             plan = [(d // 4, "ln"), (d // 8, "ln"), (d // 16, "ln"), (d // 16, None)]
         for i, (feats, norm) in enumerate(plan):
-            x = nn.ConvTranspose(
-                feats, (2, 2), strides=(2, 2), padding="VALID",
-                dtype=self.dtype, name=f"up{i}",
+            # k=2/s=2 transposed conv as one GEMM + free interleave reshape
+            # (EinsumConvTranspose2x, checkpoint-compatible with
+            # nn.ConvTranspose). Unlike the UNet decoder — where this was a
+            # measured negative (unet.py) — the SAM upscaler's THIN channel
+            # counts (64/32/16) leave the strided-conv lowering ~10x off the
+            # HBM roofline (80 GB/s, docs/PERF.md), and the GEMM path wins.
+            x = EinsumConvTranspose2x(
+                feats, dimension=2, dtype=self.dtype, name=f"up{i}",
             )(x)
             if norm == "ln":
                 x = LayerNorm2d(dtype=self.dtype, name=f"norm{i}")(x)

@@ -74,9 +74,22 @@ def _nearest_feature_distance_1d(feature: jnp.ndarray, spacing: float) -> jnp.nd
 
 
 def _minplus_axis0(f2: jnp.ndarray, spacing: float, chunk: int = 32) -> jnp.ndarray:
-    """out[i, ...] = min_k f2[k, ...] + ((i-k) * spacing)**2 via chunked scan."""
+    """out[i, ...] = min_k f2[k, ...] + ((i-k) * spacing)**2.
+
+    Small axes (the capped prompt-generation resolutions) use ONE dense
+    broadcast-min-reduce — XLA fuses the parabolic offsets into the reduce
+    generator, no while loop. The former chunked ``lax.scan`` lowered to an
+    HLO while whose per-step slices/pads were launch-latency-bound under
+    the CPC-SAM phase-2 double-vmap (~70 ms/step of the profile); the dense
+    reduce is one fusion. Large axes keep the chunked scan to bound the
+    working set.
+    """
     n = f2.shape[0]
     k = jnp.arange(n, dtype=jnp.float32)
+    if n <= 256:
+        off2 = ((k[:, None] - k[None, :]) * spacing) ** 2  # (i, k)
+        off2 = off2.reshape((n, n) + (1,) * (f2.ndim - 1))
+        return jnp.min(off2 + f2[None], axis=1)
     pad = (-n) % chunk
     starts = jnp.arange(0, n + pad, chunk)
 

@@ -11,8 +11,12 @@ Masks are 2D ``(H, W)``; vmap for batches.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
 
 
 def _window_reduce(mask: jnp.ndarray, radius: int, mode: str) -> jnp.ndarray:
@@ -146,6 +150,112 @@ def connected_components(
     return jnp.where(fg, lab, -1)
 
 
+def _shift2d(x, dy: int, dx: int, fill):
+    """Shift by (dy, dx) with ``fill`` entering at the vacated edge.
+
+    Static shifts only — lowers to lane/sublane rotates + iota selects,
+    all Mosaic-friendly (no gathers)."""
+    h, w = x.shape
+    y = x
+    if dy:
+        y = jnp.roll(y, dy, axis=0)
+    if dx:
+        y = jnp.roll(y, dx, axis=1)
+    cond = None
+    if dy or dx:
+        ri = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        ci = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        conds = []
+        if dy > 0:
+            conds.append(ri < dy)
+        elif dy < 0:
+            conds.append(ri >= h + dy)
+        if dx > 0:
+            conds.append(ci < dx)
+        elif dx < 0:
+            conds.append(ci >= w + dx)
+        cond = functools.reduce(jnp.logical_or, conds)
+    return jnp.where(cond, fill, y) if cond is not None else y
+
+
+def _cc_kernel(mask_ref, out_ref, *, max_iters: int, connectivity: int):
+    """Whole-mask CC in VMEM: the same sweep schedule as
+    :func:`connected_components` (segmented min-scans along rows and columns
+    in both directions + masked diagonal roll-min), but with every sweep an
+    on-chip vector op instead of an XLA while-loop iteration of small HBM
+    round-trip ops (measured launch-latency-bound at ~6 GB/s in the CPC-SAM
+    phase-2 profile). Hillis–Steele log-shift segmented scans."""
+    h, w = mask_ref.shape
+    fg = mask_ref[...] > 0
+    bg = ~fg
+    big = jnp.int32(h * w)
+    idx = (
+        lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    )
+    lab0 = jnp.where(fg, idx, big)
+
+    bg_i = bg.astype(jnp.int32)  # Mosaic cannot rotate i1 vectors
+
+    def seg_scan(v, axis: int, reverse: bool):
+        # x_i <- combine(x_{i-d}, x_i) over pairs (value, boundary);
+        # out-of-range reads act as boundaries (fill value BIG / 1)
+        b = bg_i
+        d = 1
+        n = v.shape[axis]
+        while d < n:
+            sh = -d if reverse else d
+            dy, dx = (sh, 0) if axis == 0 else (0, sh)
+            sv = _shift2d(v, dy, dx, big)
+            sb = _shift2d(b, dy, dx, jnp.int32(1))
+            v = jnp.where(b != 0, v, jnp.minimum(v, sv))
+            b = b | sb
+            d *= 2
+        return v
+
+    if connectivity == 2:
+        diag_shifts = [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    else:
+        diag_shifts = []
+
+    def sweep(lab):
+        for axis in (1, 0):
+            lab = seg_scan(lab, axis, False)
+            lab = seg_scan(lab, axis, True)
+        src = jnp.where(fg, lab, big)
+        best = src
+        for dy, dx in diag_shifts:
+            best = jnp.minimum(best, _shift2d(src, dy, dx, big))
+        return jnp.where(fg, best, big)
+
+    lab = lax.fori_loop(0, max_iters, lambda _, v: sweep(v), lab0)
+    out_ref[...] = jnp.where(fg, lab, -1)
+
+
+def connected_components_pallas(
+    mask: jnp.ndarray,
+    connectivity: int = 2,
+    max_iters: int = 16,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Pallas TPU fast path for :func:`connected_components` with a fixed
+    sweep budget. Identical labels to ``connected_components(mask,
+    connectivity, max_iters)`` whenever the mask converges within
+    ``max_iters`` sweeps (the sweep is idempotent at fixpoint, so running
+    the full budget matches the early-exiting while-loop); parity-tested
+    against the XLA path. vmap adds batch grid dimensions."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    h, w = mask.shape
+    return pl.pallas_call(
+        functools.partial(
+            _cc_kernel, max_iters=max_iters, connectivity=connectivity
+        ),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        interpret=interpret,
+    )(mask.astype(jnp.int32))
+
+
 def remove_small_regions(
     mask: jnp.ndarray, min_size: int, connectivity: int = 2
 ) -> jnp.ndarray:
@@ -167,8 +277,17 @@ def remove_small_regions(
 def component_sizes_and_largest(
     mask: jnp.ndarray, connectivity: int = 2, max_iters: int | None = None
 ):
-    """Return (labels, size_map, largest_component_mask) for a binary mask."""
-    lab = connected_components(mask, connectivity=connectivity, max_iters=max_iters)
+    """Return (labels, size_map, largest_component_mask) for a binary mask.
+
+    With a finite sweep budget on a TPU backend the labeling runs in the
+    single-program Pallas kernel (one VMEM-resident program per mask instead
+    of per-sweep HBM round trips); results are identical to the XLA path."""
+    if max_iters is not None and jax.default_backend() == "tpu":
+        lab = connected_components_pallas(
+            mask, connectivity=connectivity, max_iters=max_iters
+        )
+    else:
+        lab = connected_components(mask, connectivity=connectivity, max_iters=max_iters)
     flat = jnp.where(lab.reshape(-1) >= 0, lab.reshape(-1), mask.size)
     sizes = jnp.zeros(mask.size + 1, dtype=jnp.int32).at[flat].add(1)
     sizes = sizes.at[mask.size].set(0)

@@ -50,6 +50,7 @@ from ..schedule import poly_warmup_schedule
 from ..transforms import batch_apply, get_train_transform
 from ..transforms.normalization import zscore_normalize
 from ..utils.common import draw_mask, get_path
+from ..utils.compile_cache import maybe_enable_compilation_cache
 from ..utils.logging import add_file_sink, remove_sink, setup_logger
 from ..utils.profiling import trace_span
 from .al_config import ALConfig
@@ -134,6 +135,7 @@ class ALTrainer(BaseTrainer):
     # setup
     # ------------------------------------------------------------------
     def initialize(self):
+        maybe_enable_compilation_cache()
         self._set_snapshot_work_dir()
         self._setup_wandb()
         self._setup_logger()

@@ -41,6 +41,7 @@ from ..models.sam.prompt_generation import prompt_generate_random_fast
 from ..models.sam.validation import test_single_volume, test_single_volume_mean
 from ..schedule import poly_warmup_schedule, sigmoid_ramp_up
 from ..utils.common import get_path
+from ..utils.compile_cache import maybe_enable_compilation_cache
 from ..utils.logging import setup_logger
 from .al_config import ALConfig  # noqa: F401  (shared JSON conventions)
 from .base_trainer import BaseTrainer
@@ -265,6 +266,7 @@ class CPCSAMTrainer(BaseTrainer):
 
     # ------------------------------------------------------------------
     def initialize(self):
+        maybe_enable_compilation_cache()
         stamp = datetime.now().strftime("%Y%m%d_%H")
         name = "_".join(
             [

@@ -229,3 +229,37 @@ def test_connected_components_spiral_iteration_bound():
     assert (lab[fg] >= 0).all()
     assert len(np.unique(lab[fg])) == 1  # one snake, one label
     assert (lab[~fg] == -1).all()
+
+
+def test_connected_components_pallas_matches_xla():
+    """The VMEM-resident Pallas CC kernel (interpret mode off-TPU) produces
+    the same labels as the XLA while-loop path at the same sweep budget,
+    including under vmap (the CPC-SAM prompt-generation call shape)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from mia_tpu.ops.morphology import (
+        connected_components,
+        connected_components_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    for density, iters in ((0.45, 16), (0.25, 8), (0.7, 16)):
+        m = jnp.asarray((rng.random((48, 48)) < density).astype(np.int32))
+        a = connected_components(m, 2, max_iters=iters)
+        b = connected_components_pallas(m, 2, max_iters=iters, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ms = jnp.asarray((rng.random((3, 32, 32)) < 0.5).astype(np.int32))
+    va = jax.vmap(lambda x: connected_components(x, max_iters=12))(ms)
+    vb = jax.vmap(
+        lambda x: connected_components_pallas(x, max_iters=12, interpret=True)
+    )(ms)
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+    # 4-connectivity path
+    m = jnp.asarray((rng.random((32, 32)) < 0.5).astype(np.int32))
+    a = connected_components(m, 1, max_iters=16)
+    b = connected_components_pallas(m, 1, max_iters=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
