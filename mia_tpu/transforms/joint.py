@@ -217,7 +217,13 @@ class FusedRandomAffines(Transform):
         self._use_twopass = max_rot + max_shear <= 45.0 and min_scale >= 0.4
 
     def apply(self, rng, image, label):
-        from ..ops.warp import affine_warp_twopass
+        import jax as _jax
+
+        from ..ops.warp import (
+            affine_warp_pallas,
+            affine_warp_pallas_supported,
+            affine_warp_twopass,
+        )
 
         h, w = image.shape[0], image.shape[1]
         center = ((w - 1) * 0.5, (h - 1) * 0.5)
@@ -245,7 +251,15 @@ class FusedRandomAffines(Transform):
                 [image.astype(jnp.float32), label[..., None].astype(jnp.float32)],
                 axis=-1,
             )
-            warped = affine_warp_twopass(stacked, matrix, "nearest")
+            c = stacked.shape[-1]
+            if _jax.default_backend() == "tpu" and affine_warp_pallas_supported(
+                h, w, c
+            ):
+                # VMEM-resident kernel: exact for axis-aligned maps, <=1 px
+                # from the twopass einsums on rotations (docs/PERF.md)
+                warped = affine_warp_pallas(stacked, matrix, "nearest")
+            else:
+                warped = affine_warp_twopass(stacked, matrix, "nearest")
             warped_img = warped[..., :-1].astype(image.dtype)
             warped_lbl = jnp.round(warped[..., -1]).astype(label.dtype)
         else:

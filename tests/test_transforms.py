@@ -270,3 +270,97 @@ class TestTwopassWarp:
         out = np.asarray(affine_warp_twopass(lbl, m))
         assert out.dtype == np.int32
         assert set(np.unique(out)) <= {0, 1, 2, 3}
+
+
+class TestPallasWarp:
+    """The VMEM-resident shift+shared-map warp kernel (``ops/warp.py``):
+    the production TPU path of ``FusedRandomAffines`` (docs/PERF.md)."""
+
+    def _mat(self, angle=0.0, scale=1.0, tx=0.0, ty=0.0, hw=(256, 256)):
+        from mia_tpu.ops.warp import affine_inverse_matrix
+
+        h, w = hw
+        return affine_inverse_matrix(
+            jnp.float32(angle), (jnp.float32(tx), jnp.float32(ty)),
+            jnp.float32(scale), (jnp.float32(0.0), jnp.float32(0.0)),
+            ((w - 1) * 0.5, (h - 1) * 0.5),
+        )
+
+    def test_matches_shift2pass_bitexact(self, rng):
+        # the kernel implements affine_warp_shift2pass EXACTLY (incl. the
+        # mod-wrap of out-of-range shared-map indices that per-row shifts
+        # bring back in range on rotations)
+        from mia_tpu.ops.warp import affine_warp_pallas, affine_warp_shift2pass
+
+        img = jnp.asarray(rng.random((256, 256, 4)), jnp.float32)
+        for m in (
+            self._mat(),
+            self._mat(scale=0.7),
+            self._mat(scale=1.4, tx=5, ty=-3),
+            self._mat(angle=7.0),
+            self._mat(angle=-15.0),
+            self._mat(angle=15.0, scale=0.75),
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(affine_warp_pallas(img, m, interpret=True)),
+                np.asarray(affine_warp_shift2pass(img, m)),
+            )
+
+    def test_axis_aligned_exact_vs_twopass(self, rng):
+        from mia_tpu.ops.warp import affine_warp_shift2pass, affine_warp_twopass
+
+        img = jnp.asarray(rng.random((256, 256, 4)), jnp.float32)
+        for m in (self._mat(), self._mat(scale=0.7), self._mat(scale=1.4, tx=5)):
+            np.testing.assert_array_equal(
+                np.asarray(affine_warp_shift2pass(img, m)),
+                np.asarray(affine_warp_twopass(img, m)),
+            )
+
+    def test_rotation_within_one_source_pixel_of_twopass(self, rng):
+        # split rounding (round(a*x+c) + round(b*i) vs round(a*x+b*i+c))
+        # moves the sampled source by at most one pixel per axis
+        from mia_tpu.ops.warp import affine_warp_shift2pass, affine_warp_twopass
+
+        h = w = 256
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        coord = jnp.asarray(
+            np.stack([xs, ys], axis=-1).astype(np.float32)
+        )  # value == source coordinate
+        for m in (self._mat(angle=15.0), self._mat(angle=-15.0, scale=0.75)):
+            a = np.asarray(affine_warp_shift2pass(coord, m))
+            b = np.asarray(affine_warp_twopass(coord, m))
+            interior = (a.sum(-1) > 0) & (b.sum(-1) > 0)  # both in-source
+            d = np.abs(a - b)[interior]
+            assert d.max() <= 1.0 + 1e-6, d.max()
+
+    def test_label_values_preserved(self, rng):
+        from mia_tpu.ops.warp import affine_warp_pallas
+
+        lbl = jnp.asarray(rng.integers(0, 4, (256, 256, 4)), jnp.int32)
+        out = np.asarray(
+            affine_warp_pallas(lbl, self._mat(angle=12.0, scale=0.9), interpret=True)
+        )
+        assert out.dtype == np.int32
+        assert set(np.unique(out)) <= {0, 1, 2, 3}
+
+    def test_vmap_batches(self, rng):
+        import jax
+
+        from mia_tpu.ops.warp import affine_warp_pallas, affine_warp_shift2pass
+
+        imgs = jnp.asarray(rng.random((3, 256, 256, 4)), jnp.float32)
+        mats = jnp.stack(
+            [self._mat(angle=9.0), self._mat(scale=0.8), self._mat()]
+        )
+        got = jax.vmap(lambda im, m: affine_warp_pallas(im, m, interpret=True))(
+            imgs, mats
+        )
+        want = jax.vmap(affine_warp_shift2pass)(imgs, mats)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_supported_predicate(self):
+        from mia_tpu.ops.warp import affine_warp_pallas_supported
+
+        assert affine_warp_pallas_supported(256, 256, 4)
+        assert not affine_warp_pallas_supported(256, 100, 4)  # lane axis
+        assert not affine_warp_pallas_supported(33, 256, 4)  # sublane axis
