@@ -16,7 +16,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..data.loader import collate
 from ..losses import cross_entropy, soft_dice_loss
 
 
@@ -52,15 +51,21 @@ class ModelScorer:
     the model apply fn + shapes, so rounds reuse them.
     """
 
-    def __init__(self, model, state, mesh=None):
+    def __init__(self, model, state, mesh=None, normalize=False):
         # ``state`` is anything exposing .params and .batch_stats
         # (mia_tpu.training.TrainState or a lightweight stand-in).
         # With ``mesh``, every sweep shards its batch over the mesh's
         # ``data`` axis with replicated params — the AL round's "one device
         # program per pool sweep" over all chips (SURVEY §5).
+        # ``normalize``: z-score each image INSIDE the sweep program — the
+        # reference's pool dataset carries ZScoreNormalize when
+        # ``do_normalize`` (``al_trainer.py:623`` + ``:721-734``), so
+        # selection must score normalized inputs; here the host pipeline
+        # stays raw (native decode fast path) and the device does it.
         self.model = model
         self.state = state
         self.mesh = mesh
+        self.normalize = normalize
 
         def variables(params, batch_stats):
             v = {"params": params}
@@ -68,14 +73,23 @@ class ModelScorer:
                 v["batch_stats"] = batch_stats
             return v
 
+        def prep(images):
+            if not normalize:
+                return images
+            from ..transforms.normalization import zscore_normalize
+
+            return jax.vmap(zscore_normalize)(images)
+
         def probs_fn(params, batch_stats, images):
-            logits = model.apply(variables(params, batch_stats), images, train=False)
+            logits = model.apply(
+                variables(params, batch_stats), prep(images), train=False
+            )
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
         def enc_fn(params, batch_stats, images):
             return model.apply(
                 variables(params, batch_stats),
-                images,
+                prep(images),
                 train=False,
                 method=model.enc_feature,
             ).astype(jnp.float32)
@@ -86,6 +100,8 @@ class ModelScorer:
         def badge_fn(params, batch_stats, images):
             # vmap(grad wrt seg-head kernel) — per-image pseudo-label loss
             # gradient embedding (badge_selector.py:19-34, 75-98)
+            images = prep(images)
+
             def one_image(image):
                 def loss_of_head(kernel):
                     p = dict(params)
@@ -155,15 +171,28 @@ def sweep_pool(
 
     Returns (stacked outputs [N, ...], case names [N]).
     """
-    n = len(dataset)
+    from ..data.loader import BatchLoader
+
     outputs, names = [], []
-    for start in range(0, n, batch_size):
-        idx = list(range(start, min(start + batch_size, n)))
-        valid = len(idx)
-        while len(idx) < batch_size:
-            idx.append(idx[-1])
-        batch = collate([dataset.get_sample(i) for i in idx])
-        out = np.asarray(fn(jnp.asarray(batch["image"])))
+    # thread-prefetching loader: native decode + the shared decoded-sample
+    # cache overlap host I/O with the device sweep (the former per-sample
+    # ``get_sample`` host loop dominated the AL round wall clock)
+    loader = BatchLoader(
+        dataset,
+        batch_size,
+        shuffle=False,
+        drop_last=False,
+        device_put=True,
+    )
+    for batch in loader:
+        images = jnp.asarray(batch["image"])
+        valid = images.shape[0]
+        if valid < batch_size:  # pad the final batch: one compiled program
+            reps = jnp.concatenate(
+                [images] + [images[-1:]] * (batch_size - valid), axis=0
+            )
+            images = reps
+        out = np.asarray(fn(images))
         outputs.append(out[:valid])
         names.extend(batch["case_name"][:valid])
     return np.concatenate(outputs, axis=0), names

@@ -35,6 +35,16 @@ def collate(samples: list[dict]) -> dict:
     return out
 
 
+def _decode_cache_budget_bytes() -> int:
+    """Byte budget for the per-dataset decoded-sample cache."""
+    import os
+
+    try:
+        return int(os.environ.get("MIA_DECODE_CACHE_MB", "2048")) * 2 ** 20
+    except ValueError:
+        return 2048 * 2 ** 20
+
+
 class BatchLoader:
     """Iterates device-ready batches from a dataset.
 
@@ -130,18 +140,52 @@ class BatchLoader:
                 base_indices = [
                     ds.case_name_to_idx[ds.image_idx[int(i)]] for i in indices
                 ]
-            paths = [base.sample_paths(i) for i in base_indices]
             size = base.image_size
             if isinstance(size, int):
                 size = (size, size)
-            images, labels = native.load_image_batch(
-                [p[0] for p in paths],
-                [p[1] for p in paths],
-                image_size=tuple(size),
-                channels=getattr(base, "image_channels", 3),
-            )
+
+            # Decoded-sample cache on the BASE dataset (shared by the train
+            # loader, pool sweeps, and later rounds): the AL loop re-reads
+            # the same PNGs every epoch, and decode+resize dominates the
+            # host side of a batch-12 iteration. Deterministic here because
+            # this fast path requires no host transform/normalize. Budgeted
+            # (MIA_DECODE_CACHE_MB, default 2048) so huge pools degrade to
+            # plain decoding instead of exhausting RAM.
+            cache = getattr(base, "_decoded_cache", None)
+            if cache is None:
+                cache = base._decoded_cache = {}
+                base._decoded_cache_bytes = 0
+            budget = _decode_cache_budget_bytes()
+            miss = [i for i in base_indices if i not in cache]
+            if miss:
+                paths = [base.sample_paths(i) for i in miss]
+                images, labels = native.load_image_batch(
+                    [p[0] for p in paths],
+                    [p[1] for p in paths],
+                    image_size=tuple(size),
+                    channels=getattr(base, "image_channels", 3),
+                )
+                for j, i in enumerate(miss):
+                    pair = (images[j], labels[j])
+                    if base._decoded_cache_bytes < budget:
+                        cache[i] = pair
+                        base._decoded_cache_bytes += (
+                            pair[0].nbytes + pair[1].nbytes
+                        )
+                    else:  # over budget: keep this batch only transiently
+                        cache[i] = pair
+                        base._decoded_cache_transient = getattr(
+                            base, "_decoded_cache_transient", []
+                        )
+                        base._decoded_cache_transient.append(i)
+            batch_images = np.stack([cache[i][0] for i in base_indices])
+            batch_labels = np.stack([cache[i][1] for i in base_indices])
+            for i in getattr(base, "_decoded_cache_transient", []):
+                cache.pop(i, None)
+            if hasattr(base, "_decoded_cache_transient"):
+                base._decoded_cache_transient = []
             case_names = [base.samples_list[i] for i in base_indices]
-            return {"image": images, "label": labels, "case_name": case_names}
+            return {"image": batch_images, "label": batch_labels, "case_name": case_names}
         except Exception:
             return None
 

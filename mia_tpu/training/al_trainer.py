@@ -234,15 +234,22 @@ class ALTrainer(BaseTrainer):
         return tuple(sample["image"].shape[:2])
 
     def _build_model(self, round_key: int = 0):
+        # Reuse ONE model / optax chain across rounds: ``TrainState`` carries
+        # ``apply_fn``/``tx`` as static (non-pytree) fields, so fresh
+        # instances would change the jit cache key and force a full
+        # recompile of every train/eval program at each AL round start
+        # (~31 s/round measured on TPU). Fresh ROUND WEIGHTS come from the
+        # round-folded init key, exactly as before.
         cfg = self._unet_config()
-        self.model = UNet(cfg)
-        self.model_processor = UnetProcessor(image_size=self.config.image_size)
+        if getattr(self, "model", None) is None:
+            self.model = UNet(cfg)
+            self.model_processor = UnetProcessor(image_size=self.config.image_size)
+            self._tx = self._make_tx()
 
         h, w = self._model_input_size()
         sample = jnp.zeros((1, h, w, cfg.in_channels), jnp.float32)
         init_key = jax.random.fold_in(self.root_key, round_key)
-        tx = self._make_tx()
-        self.state = create_train_state(self.model, init_key, sample, tx)
+        self.state = create_train_state(self.model, init_key, sample, self._tx)
 
         if self.config.model_ckpt:
             self.load_model_checkpoint(self.config.model_ckpt)
@@ -271,8 +278,23 @@ class ALTrainer(BaseTrainer):
     # ------------------------------------------------------------------
     # checkpointing
     # ------------------------------------------------------------------
+    def _restore_best(self, ckpt: str | Path):
+        """Restore the round's best weights: from the in-memory snapshot
+        when available (saved on improvement — skips the msgpack read and
+        the tunnel H2D/D2H round trip), else from the checkpoint file."""
+        best = getattr(self, "_best_variables", None)
+        if best is not None:
+            self.state = self.state.replace(
+                params=best["params"],
+                batch_stats=best["batch_stats"],
+            )
+            self.logger.info(f"Loaded model checkpoint from {ckpt} (in-memory)")
+            return
+        self.load_model_checkpoint(ckpt)
+
     def load_model_checkpoint(self, ckpt: str | Path):
         ckpt = Path(ckpt)
+        self.flush_saves()
         try:
             if ckpt.suffix in (".pth", ".pt"):
                 import torch
@@ -320,21 +342,67 @@ class ALTrainer(BaseTrainer):
             "data_list": self.active_dataset.data_list(),
         }
 
+    # -- async checkpoint writer -------------------------------------
+    # Serialization (flax to_bytes) pays a large D2H fetch through the TPU
+    # tunnel (~4-8 s per save measured); the round loop does not need the
+    # bytes, only the files eventually. A single-worker executor keeps
+    # writes ordered; every path that READS a checkpoint flushes first.
+    def _saver_submit(self, fn):
+        if not hasattr(self, "_save_executor"):
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._save_executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt"
+            )
+            self._save_futures = []
+        fut = self._save_executor.submit(fn)
+        self._save_futures.append(fut)
+        return fut
+
+    def flush_saves(self):
+        """Wait for all pending checkpoint writes (reads must call this)."""
+        for fut in getattr(self, "_save_futures", []):
+            fut.result()
+        if hasattr(self, "_save_futures"):
+            self._save_futures = []
+
     def save_state_dict(self, save_path: str | Path, save_training_state: bool = False):
         save_path = get_path(save_path)
-        save_path.mkdir(parents=True, exist_ok=True)
-        self.save_model_checkpoint(save_path / "model.msgpack")
-        if save_training_state:
-            (save_path / "training_state.json").write_text(
-                json.dumps(self.state_dict())
-            )
-            (save_path / "opt_state.msgpack").write_bytes(
-                serialization.to_bytes(self.state.opt_state)
-            )
-        self.logger.info(f'Saved new checkpoint to "{save_path}"')
+        # snapshot NOW with a device copy — the train step DONATES the state
+        # buffers, so bare references could be invalidated before the
+        # writer thread serializes them
+        variables = {"params": jax.tree.map(jnp.copy, self.state.params)}
+        if jax.tree_util.tree_leaves(self.state.batch_stats):
+            variables["batch_stats"] = jax.tree.map(jnp.copy, self.state.batch_stats)
+        opt_state = (
+            jax.tree.map(jnp.copy, self.state.opt_state)
+            if save_training_state
+            else None
+        )
+        ts_json = json.dumps(self.state_dict()) if save_training_state else None
+
+        def write():
+            try:
+                save_path.mkdir(parents=True, exist_ok=True)
+                (save_path / "model.msgpack").write_bytes(
+                    serialization.to_bytes(variables)
+                )
+                self.logger.info(f"Saved model checkpoint to {save_path / 'model.msgpack'}")
+                if ts_json is not None:
+                    (save_path / "training_state.json").write_text(ts_json)
+                    (save_path / "opt_state.msgpack").write_bytes(
+                        serialization.to_bytes(opt_state)
+                    )
+                self.logger.info(f'Saved new checkpoint to "{save_path}"')
+            except Exception as e:  # never kill training over a save
+                self.logger.warning(f"Failed to save checkpoint to {save_path}")
+                self.logger.exception(e)
+
+        self._saver_submit(write)
 
     def load_state_dict(self, save_path: str | Path):
         save_path = get_path(save_path)
+        self.flush_saves()
         if (save_path / "model.msgpack").is_file():
             self.load_model_checkpoint(save_path / "model.msgpack")
         ts_path = save_path / "training_state.json"
@@ -681,15 +749,25 @@ class ALTrainer(BaseTrainer):
         if self.current_round > 0 and (
             self.current_round > 1 or self.config.init_round_path is None
         ):
-            self.load_model_checkpoint(
-                self.work_path / f"round_{self.current_round - 1}/best_model"
-            )
+            self._restore_best(self.work_path / f"round_{self.current_round - 1}/best_model")
 
         if self.config.active_learning:
             if self.current_round == 0 and self.config.init_data_list:
                 self.active_dataset.load_data_list(self.config.init_data_list)
             else:
-                scorer = ModelScorer(self.model, self.state, mesh=self.mesh)
+                # one scorer for the whole run: its jitted sweep programs key
+                # on the jit-wrapper identity, so a fresh ModelScorer per
+                # round would recompile every pool sweep
+                if getattr(self, "_scorer", None) is None:
+                    self._scorer = ModelScorer(
+                        self.model,
+                        self.state,
+                        mesh=self.mesh,
+                        normalize=self.config.do_normalize,
+                    )
+                else:
+                    self._scorer.state = self.state
+                scorer = self._scorer
                 with trace_span("al/select"):
                     new_samples = self.active_selector.select_next_batch(
                         self.active_dataset,
@@ -709,7 +787,7 @@ class ALTrainer(BaseTrainer):
             if self.config.persist_model_weight and (
                 self.current_round > 1 or self.config.init_round_path is None
             ):
-                self.load_model_checkpoint(
+                self._restore_best(
                     self.work_path / f"round_{self.current_round - 1}/best_model"
                 )
 
@@ -732,6 +810,7 @@ class ALTrainer(BaseTrainer):
         default = -np.inf if self.config.maximum_save_metric else np.inf
         self._best_valid_metric = default
         self._cur_valid_metric = default
+        self._best_variables = None  # this round's best lives here
 
         labeled_size, pool_size = self.active_dataset.get_size()
         self.logger.info("")
@@ -742,9 +821,7 @@ class ALTrainer(BaseTrainer):
     def on_round_end(self):
         ckpt_path = self.work_path / f"round_{self.current_round}/final_model"
         self.save_state_dict(ckpt_path, True)
-        self.load_model_checkpoint(
-            self.work_path / f"round_{self.current_round}/best_model"
-        )
+        self._restore_best(self.work_path / f"round_{self.current_round}/best_model")
         self.perform_real_test()
         self.logger.info("")
         self.current_round += 1
@@ -1023,6 +1100,16 @@ class ALTrainer(BaseTrainer):
             self.logger.info(
                 f"New best metric ({self.config.save_metric_name}): {self._cur_valid_metric}"
             )
+            # keep the best weights in memory: round end / next-round
+            # selection restore from here instead of re-reading the file
+            # (tunnel D2H + disk round trip)
+            self._best_variables = jax.tree.map(
+                jnp.copy,
+                {
+                    "params": self.state.params,
+                    "batch_stats": self.state.batch_stats,
+                },
+            )
             self.save_state_dict(self.work_path / f"round_{self.current_round}/best_model")
             self.save_state_dict(
                 self.work_path
@@ -1076,6 +1163,7 @@ class ALTrainer(BaseTrainer):
 
     def run_training(self):
         self.train()
+        self.flush_saves()
 
     # ------------------------------------------------------------------
     # test

@@ -138,3 +138,35 @@ def test_uncertainty_scores_match_formulas(rng):
     s = np.sort(p, axis=-1)
     marg = np.mean(-(s[..., -1] - s[..., -2]), axis=(1, 2))
     np.testing.assert_allclose(np.asarray(margin_score(probs)), marg, rtol=1e-5)
+
+
+def test_scorer_normalize_matches_host_zscore(rng):
+    # normalize=True on raw images == normalize=False on host-z-scored
+    # images (reference: pool dataset carries ZScoreNormalize when
+    # do_normalize, al_trainer.py:623/721-734)
+    from mia_tpu.data.base import host_zscore
+
+    cfg = UNetConfig(
+        in_channels=3, out_classes=3, channels_list=(4, 8), dropout_prob=None
+    )
+    model = UNet(cfg)
+    tx = make_optimizer("adam", poly_warmup_schedule(1e-3, 10, 0))
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), tx
+    )
+    raw = jnp.asarray(rng.random((3, 32, 32, 3)), jnp.float32)
+    normed = jnp.stack([jnp.asarray(host_zscore(np.asarray(im))) for im in raw])
+
+    s_dev = ModelScorer(model, state, normalize=True)
+    s_host = ModelScorer(model, state, normalize=False)
+    for kind in ("entropy", "confidence", "margin"):
+        np.testing.assert_allclose(
+            np.asarray(s_dev.uncertainty(raw, kind)),
+            np.asarray(s_host.uncertainty(normed, kind)),
+            rtol=1e-5, atol=1e-6,
+        )
+    np.testing.assert_allclose(
+        np.asarray(s_dev.badge_grad_embedding(raw)),
+        np.asarray(s_host.badge_grad_embedding(normed)),
+        rtol=1e-4, atol=1e-5,
+    )

@@ -197,3 +197,22 @@ def test_loader_compact_transfer(tmp_path):
         np.asarray(batch["image"][0], np.float32) / 255.0, ref["image"], atol=1 / 255
     )
     np.testing.assert_array_equal(np.asarray(batch["label"][0]), ref["label"])
+
+
+def test_decoded_sample_cache_consistent(tmp_path):
+    # the BatchLoader decode cache must return the same batches as cold
+    # decoding, and actually populate on the base dataset
+    from mia_tpu import native
+    from mia_tpu.data import BatchLoader
+
+    make_fugc(tmp_path, n_train=6)
+    ds = FUGCDataset(tmp_path, split="train", image_size=32)
+    loader = BatchLoader(ds, batch_size=4, shuffle=False, drop_last=False,
+                         device_put=False)
+    cold = [dict(b) for b in loader]
+    if native.is_available():
+        assert getattr(ds, "_decoded_cache", None), "cache not populated"
+    warm = [dict(b) for b in loader]
+    for a, b in zip(cold, warm):
+        np.testing.assert_array_equal(np.asarray(a["image"]), np.asarray(b["image"]))
+        np.testing.assert_array_equal(np.asarray(a["label"]), np.asarray(b["label"]))
