@@ -6,6 +6,18 @@ from .mesh import (
     replicate,
     pad_to_multiple,
 )
+from .fsdp import (
+    fsdp_param_specs,
+    fsdp_shardings,
+    shard_state_fsdp,
+)
+from .tp import (
+    prepare_tp_params,
+    unprepare_tp_params,
+    tp_param_specs,
+    tp_shardings,
+    make_tp_encoder_forward,
+)
 
 __all__ = [
     "make_mesh",
@@ -14,4 +26,12 @@ __all__ = [
     "shard_batch",
     "replicate",
     "pad_to_multiple",
+    "fsdp_param_specs",
+    "fsdp_shardings",
+    "shard_state_fsdp",
+    "prepare_tp_params",
+    "unprepare_tp_params",
+    "tp_param_specs",
+    "tp_shardings",
+    "make_tp_encoder_forward",
 ]

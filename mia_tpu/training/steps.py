@@ -46,6 +46,7 @@ def make_train_step(
     mesh=None,
     donate: bool = True,
     preprocess_fn: Callable | None = None,
+    state_shardings=None,
 ):
     """Build ``step(state, images, labels, rng) -> (state, metrics)``.
 
@@ -55,6 +56,10 @@ def make_train_step(
     jitted program — this is where the fused on-device augmentation pipeline
     (``mia_tpu.transforms``) plugs in, replacing DataLoader-worker host
     augmentation (reference ``al_trainer.py:659-667``).
+    ``state_shardings`` (with ``mesh``) overrides the default replicated
+    state placement — pass ``mia_tpu.parallel.fsdp_shardings(state, mesh)``
+    for ZeRO-style sharded params/optimizer state; XLA inserts the
+    all-gathers on use and keeps gradients/updates sharded.
     """
 
     def train_step(state: TrainState, images, labels, rng):
@@ -86,10 +91,11 @@ def make_train_step(
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    state_sh = state_shardings if state_shardings is not None else repl
     return jax.jit(
         train_step,
-        in_shardings=(repl, data, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data, data, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,) if donate else (),
     )
 
