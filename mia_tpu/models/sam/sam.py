@@ -47,6 +47,27 @@ def preprocess_image(x, img_size: int, pixel_mean=PIXEL_MEAN, pixel_std=PIXEL_ST
     return jnp.pad(x, ((0, 0), (0, img_size - h), (0, img_size - w), (0, 0)))
 
 
+def build_image_encoder(model) -> ImageEncoderViT:
+    """Standalone ``ImageEncoderViT`` identical to the one ``model``
+    (:class:`Sam` or :class:`SamDualmask`) constructs in ``setup()`` — for
+    code that needs the encoder *module* outside ``apply`` (the
+    tensor-parallel forward, ``mia_tpu.parallel.tp``, reads its static
+    fields to build the per-shard program)."""
+    return ImageEncoderViT(
+        img_size=model.img_size,
+        patch_size=16,
+        embed_dim=model.encoder_embed_dim,
+        depth=model.encoder_depth,
+        num_heads=model.encoder_num_heads,
+        out_chans=256,
+        use_rel_pos=True,
+        window_size=14,
+        global_attn_indexes=model.encoder_global_attn_indexes,
+        lora_rank=model.lora_rank,
+        dtype=model.dtype,
+    )
+
+
 class MaskedBatchNorm(nn.Module):
     """BatchNorm1d over a masked feature set: statistics from valid rows
     only. Stands in for torch BN1d on variable-length subsets."""
@@ -104,19 +125,7 @@ class Sam(nn.Module):
     def setup(self):
         embed_dim = 256
         patch = 16
-        self.image_encoder = ImageEncoderViT(
-            img_size=self.img_size,
-            patch_size=patch,
-            embed_dim=self.encoder_embed_dim,
-            depth=self.encoder_depth,
-            num_heads=self.encoder_num_heads,
-            out_chans=embed_dim,
-            use_rel_pos=True,
-            window_size=14,
-            global_attn_indexes=self.encoder_global_attn_indexes,
-            lora_rank=self.lora_rank,
-            dtype=self.dtype,
-        )
+        self.image_encoder = build_image_encoder(self)
         size = self.img_size // patch
         self.prompt_encoder = PromptEncoder(
             embed_dim=embed_dim,
@@ -188,19 +197,7 @@ class SamDualmask(nn.Module):
     def setup(self):
         embed_dim = 256
         patch = 16
-        self.image_encoder = ImageEncoderViT(
-            img_size=self.img_size,
-            patch_size=patch,
-            embed_dim=self.encoder_embed_dim,
-            depth=self.encoder_depth,
-            num_heads=self.encoder_num_heads,
-            out_chans=embed_dim,
-            use_rel_pos=True,
-            window_size=14,
-            global_attn_indexes=self.encoder_global_attn_indexes,
-            lora_rank=self.lora_rank,
-            dtype=self.dtype,
-        )
+        self.image_encoder = build_image_encoder(self)
         size = self.img_size // patch
         self.embedding_size = size
         self.prompt_encoder = PromptEncoderPromptClass(

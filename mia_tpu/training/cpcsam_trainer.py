@@ -545,12 +545,40 @@ class CPCSAMTrainer(BaseTrainer):
 
             return [unstack(p) for p in range(n)]
 
-        def embed(params, images):
-            return model.apply(
-                {"params": params},
-                images,
-                method=model.get_image_embeddings,
-            )
+        use_tp = (
+            self.mesh is not None
+            and "model" in self.mesh.axis_names
+            and self.mesh.shape["model"] > 1
+        )
+        if use_tp:
+            # tensor-parallel encoder: the ViT (the FLOPs bulk of every
+            # phase, SURVEY §3.3) runs Megatron-style over the mesh's
+            # "model" axis via shard_map (mia_tpu.parallel.tp); decoders /
+            # prompt gen stay batch-sharded GSPMD. Params enter replicated
+            # — the shard_map in_specs slice them locally (no comm) — and
+            # the LoRA cotangents flow back through the shard_map
+            # transpose, so the masked optimizer is unchanged.
+            from ..models.sam.sam import build_image_encoder, preprocess_image
+            from ..parallel import make_tp_encoder_forward, prepare_tp_params
+
+            enc_mod = build_image_encoder(model)
+            tp_fwd = make_tp_encoder_forward(enc_mod, self.mesh)
+
+            def embed(params, images):
+                x = preprocess_image(images, model.img_size)
+                prepared = prepare_tp_params(
+                    params["image_encoder"], enc_mod.num_heads
+                )
+                return tp_fwd(prepared, x)
+
+        else:
+
+            def embed(params, images):
+                return model.apply(
+                    {"params": params},
+                    images,
+                    method=model.get_image_embeddings,
+                )
 
         def head(params, method_name, *args):
             return model.apply(

@@ -135,6 +135,78 @@ def test_tp_grad_shardings_follow_params(enc_setup):
     assert qkv_g.sharding.is_equivalent_to(qkv_s, qkv_g.ndim)
 
 
+@pytest.mark.slow
+def test_cpcsam_tp_step_matches_dp(tmp_path):
+    """CPCSAMTrainer on a ("data","model") mesh runs the encoder tensor-
+    parallel (shard_map) and produces the same phase-1/phase-2 losses as
+    the data-parallel mesh."""
+    from synth_data import make_acdc
+
+    import mia_tpu.models.sam.build_sam as bs
+    from mia_tpu.memories import init_feature_memory
+    from mia_tpu.training import cpcsam_trainer as ct
+    from mia_tpu.training.cpcsam_trainer import CPCSAMTrainer
+
+    make_acdc(tmp_path / "data", n_slices=8, n_vols=1, size=(32, 32), depth=2)
+    config = dict(
+        seed=5,
+        num_classes=3,
+        image_size=32,
+        batch_size=8,
+        labeled_num=1,
+        data_path=str(tmp_path / "data"),
+        min_iter=1,
+        max_iter=1,
+        warmup_iter=0,  # phase 2 live
+        valid_freq_iter=100,
+        lr_warmup_iter=1,
+        num_epochs=1,
+        lora_rank=2,
+    )
+    orig = bs._VIT_SPECS["vit_b"]
+    bs._VIT_SPECS["vit_b"] = dict(embed_dim=32, depth=2, num_heads=2, global_idx=(1,))
+    old_slices = ct.PATIENTS_TO_SLICES["ACDC"]["1"]
+    ct.PATIENTS_TO_SLICES["ACDC"]["1"] = 4
+    try:
+        images = jnp.asarray(
+            np.random.default_rng(0).random((8, 32, 32, 3)), jnp.float32
+        )
+        labels = jnp.asarray(
+            np.random.default_rng(1).integers(0, 4, (8, 32, 32)), jnp.int32
+        )
+
+        def run(mesh_axes, shape):
+            mesh = make_mesh(mesh_axes, shape=shape)
+            trainer = CPCSAMTrainer(
+                work_path=tmp_path / f"w{len(mesh_axes)}",
+                config=config, verbose=False, mesh=mesh,
+            )
+            trainer.initialize()
+            trainer._setup_loss()
+            trainer._setup_optimizer()
+            trainer._make_programs()
+            memory = init_feature_memory(3, 2 * (256 // 16))
+            p1, o1, m1, met1 = trainer._step_phase1(
+                trainer.params, trainer.opt_state, memory, images, labels,
+                jax.random.PRNGKey(2), jnp.asarray(0),
+            )
+            _, _, _, met2 = trainer._step_phase2(
+                p1, o1, m1, images, labels,
+                jax.random.PRNGKey(3), jnp.asarray(1),
+            )
+            return (
+                float(met1["loss"]), float(met2["loss"]), float(met2["loss2"])
+            )
+
+        dp = run(("data",), (8,))
+        tp = run(("data", "model"), (4, 2))
+        np.testing.assert_allclose(tp, dp, rtol=2e-4, atol=1e-5)
+        assert tp[2] != 0.0  # phase-2 consistency term actually live
+    finally:
+        bs._VIT_SPECS["vit_b"] = orig
+        ct.PATIENTS_TO_SLICES["ACDC"]["1"] = old_slices
+
+
 def test_fsdp_step_matches_replicated(tmp_path):
     from mia_tpu.losses import DiceAndCELoss
     from mia_tpu.models.unet import UNet, UNetConfig
