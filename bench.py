@@ -179,10 +179,14 @@ def bench_al_round(tmp_root="/tmp/bench_al_round"):
     """Full AL-round wall clock: 200-image synthetic FUGC pool at 384x512,
     50 train iters batch 12 + entropy acquisition sweep + valid epoch.
 
-    Two rounds run in one process; round 0 pays every compilation, round 1
-    reuses the cached programs (shapes are identical across rounds), so the
-    result separates {compile_included, steady_state} — the docs must quote
-    whichever matches their claim (VERDICT r2 weak #5)."""
+    Three rounds run in one process; round 0 pays the train/eval program
+    compilations, round 1 the first pool-sweep compilation (round 0's
+    selection is the cold-start random fallback, so the sweep program first
+    runs in round 1), and round 2 is the true steady state. The result
+    separates {compile_included, steady_state} — the docs must quote
+    whichever matches their claim (VERDICT r2 weak #5). The persistent
+    compilation cache is default-ON (``mia_tpu.utils.compile_cache``), so
+    repeat runs see warm compiles everywhere."""
     import shutil
     import sys
     from pathlib import Path
@@ -219,7 +223,7 @@ def bench_al_round(tmp_root="/tmp/bench_al_round"):
             batch_size=12,
             valid_batch_size=1,
             active_learning=True,
-            num_rounds=2,
+            num_rounds=3,
             budget=20,
             active_selector_name="entropy",
             num_iters=50,
@@ -235,7 +239,7 @@ def bench_al_round(tmp_root="/tmp/bench_al_round"):
     trainer.run_training()
     return {
         "compile_included": round(round_times[0], 1),
-        "steady_state": round(round_times[1], 1),
+        "steady_state": round(round_times[-1], 1),
     }
 
 
@@ -328,6 +332,9 @@ def bench_torch_reference():
 
 
 def main():
+    from mia_tpu.utils import maybe_enable_compilation_cache
+
+    maybe_enable_compilation_cache()  # default-ON on TPU: warm repeat runs
     extras = {}
     value = bench_unet(augmented=True)
 

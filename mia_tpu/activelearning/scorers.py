@@ -74,6 +74,10 @@ class ModelScorer:
             return v
 
         def prep(images):
+            # uint8 wire format (lossless for byte-sourced datasets — see
+            # ``BatchLoader.quantize_images='auto'``): cast back in-program
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
             if not normalize:
                 return images
             from ..transforms.normalization import zscore_normalize
@@ -184,6 +188,7 @@ def sweep_pool(
         drop_last=False,
         device_put=True,
     )
+    valids = []
     for batch in loader:
         images = jnp.asarray(batch["image"])
         valid = images.shape[0]
@@ -192,7 +197,12 @@ def sweep_pool(
                 [images] + [images[-1:]] * (batch_size - valid), axis=0
             )
             images = reps
-        out = np.asarray(fn(images))
-        outputs.append(out[:valid])
+        # keep outputs on device: one D2H fetch for the whole sweep below,
+        # so per-batch dispatch runs ahead of the TPU tunnel instead of
+        # serializing on a round-trip every batch
+        outputs.append(fn(images))
+        valids.append(valid)
         names.extend(batch["case_name"][:valid])
+    outputs = jax.device_get(outputs)
+    outputs = [out[:v] for out, v in zip(outputs, valids)]
     return np.concatenate(outputs, axis=0), names

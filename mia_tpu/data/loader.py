@@ -165,6 +165,17 @@ class BatchLoader:
                     image_size=tuple(size),
                     channels=getattr(base, "image_channels", 3),
                 )
+                # store/ship uint8: the sources are byte-valued PNGs and
+                # PIL's own uint8-resize convention rounds the bilinear
+                # output to bytes, so rounding the native float resize is
+                # a PARITY improvement, not a quantization — and it means
+                # 4× more cache capacity and 4× less H2D wire traffic.
+                # Consumers cast back to f32/255 inside their jitted
+                # programs (train preprocess, scorer prep, eval batch).
+                images = np.clip(np.rint(images * 255.0), 0, 255).astype(
+                    np.uint8
+                )
+                labels = labels.astype(np.uint8)  # class ids < 256
                 for j, i in enumerate(miss):
                     pair = (images[j], labels[j])
                     if base._decoded_cache_bytes < budget:

@@ -56,6 +56,11 @@ def parse_args(argv=None):
     parser.add_argument("--lr-warmup-iter", default=250, type=int)
     parser.add_argument("--save-freq-epoch", default=100, type=int)
     parser.add_argument("--valid-freq-iter", default=200, type=int)
+    parser.add_argument(
+        "--log-every-iters", default=1, type=int,
+        help="defer train metric fetches/log lines to every N iters "
+        "(1 = reference per-iteration cadence)",
+    )
     parser.add_argument("--save-metric", default="dice", type=str)
     parser.add_argument("--loss", default="dice+ce", type=str)
     parser.add_argument("--dice-weight", default=0.8, type=float)

@@ -68,6 +68,7 @@ class ALConfig:
         save_freq_epoch: int | None = None,
         valid_freq_iter: int = 200,
         log_every_iters: int = 1,
+        warm_pool_cache: bool = True,
         valid_mode: str = "volumn",
         save_metric_name: str = "dice",
         maximum_save_metric: bool | None = None,
@@ -151,6 +152,7 @@ class ALConfig:
         # the train loop) to every Nth step, so dispatch runs ahead of the
         # device; 1 keeps the reference's per-iteration log lines.
         self.log_every_iters = log_every_iters
+        self.warm_pool_cache = warm_pool_cache
         self.valid_mode = valid_mode
         self.save_metric_name = save_metric_name
         self.maximum_save_metric = maximum_save_metric

@@ -507,6 +507,60 @@ class ALTrainer(BaseTrainer):
             softmax=self.config.kmean_softmax,
         )
 
+    def _warm_pool_cache(self):
+        """Warm the pool's decoded-sample cache in a background thread.
+
+        The first pool acquisition sweep otherwise pays first-touch
+        decode+resize for the whole pool (~40 ms/image host-side) right on
+        the round-1 critical path; decoding overlaps round-0 training here
+        instead. Pure optimization: the budgeted cache semantics are
+        unchanged (``data/loader.py``), and the thread dies with the
+        process (daemon) if training ends first."""
+        if not (
+            self.config.active_learning
+            and getattr(self.config, "warm_pool_cache", True)
+        ):
+            return
+
+        import threading
+
+        from ..data.loader import BatchLoader
+
+        pool = self.active_dataset.pool_dataset
+        # only worthwhile when the loader's caching native-decode fast path
+        # applies (same predicate as ``BatchLoader._native_batch``); the
+        # slow fallback decodes without caching — pure wasted CPU
+        base = getattr(pool, "dataset", pool)
+        if (
+            getattr(base, "transform", None) is not None
+            or getattr(base, "normalize", None) is not None
+            or getattr(base, "image_size", None) is None
+            or not hasattr(base, "sample_paths")
+        ):
+            return
+        from .. import native
+
+        if not native.is_available():
+            return
+
+        def warm():
+            try:
+                loader = BatchLoader(
+                    pool,
+                    batch_size=min(16, max(1, len(pool))),
+                    shuffle=False,
+                    drop_last=False,
+                    device_put=False,
+                    num_prefetch=0,
+                )
+                for _ in loader:
+                    pass
+            except Exception:  # never let cache warming kill training
+                pass
+
+        self._pool_warm_thread = threading.Thread(target=warm, daemon=True)
+        self._pool_warm_thread.start()
+
     def _make_programs(self):
         recipe = get_train_transform(
             self.DATASET_KEYS[self.config.dataset], self.config.do_augment
@@ -515,6 +569,14 @@ class ALTrainer(BaseTrainer):
         do_normalize = self.config.do_normalize
 
         def preprocess(rng, images, labels):
+            # dtype normalization INSIDE the program: the loader ships
+            # compact uint8 batches; an eager astype/divide would cost two
+            # extra device dispatches per iteration on the TPU tunnel.
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
+            else:
+                images = images.astype(jnp.float32)
+            labels = labels.astype(jnp.int32)
             if recipe.transforms:
                 images, labels = batch_apply(recipe, rng, images, labels)
             if do_normalize:
@@ -673,6 +735,7 @@ class ALTrainer(BaseTrainer):
         self._setup_loss()
         self._setup_active_selector()
         self._make_programs()
+        self._warm_pool_cache()
 
         self.current_round = 0
 
@@ -900,12 +963,11 @@ class ALTrainer(BaseTrainer):
         start = time.time()
         self.logger.info(f"Iteration {self.current_iter}:")
 
+        # dtype conversion (uint8 → f32/255, labels → int32) happens INSIDE
+        # the jitted step's preprocess stage; the loader already device_puts,
+        # so these are no-op wraps for device arrays.
         images = jnp.asarray(sampled_batch["image"])
-        if images.dtype == jnp.uint8:
-            images = images.astype(jnp.float32) / 255.0
-        else:
-            images = images.astype(jnp.float32)
-        labels = jnp.asarray(sampled_batch["label"], jnp.int32)
+        labels = jnp.asarray(sampled_batch["label"])
 
         step_index = self.current_iter
         with trace_span("train/step"):
@@ -981,7 +1043,11 @@ class ALTrainer(BaseTrainer):
         only pads the batch to its bucket shape and builds (cached) resize
         matrices — no per-slice Python loops (VERDICT r1 weak #4).
         """
-        images = np.asarray(sampled_batch["image"], np.float32)
+        images = np.asarray(sampled_batch["image"])
+        if images.dtype == np.uint8:  # native-loader wire format
+            images = images.astype(np.float32) / 255.0
+        else:
+            images = images.astype(np.float32)
         labels = np.asarray(sampled_batch["label"], np.int32)
 
         if self.config.valid_mode == "volumn" and images.ndim == 5:
@@ -1040,6 +1106,7 @@ class ALTrainer(BaseTrainer):
         )
 
     def on_valid_epoch_start(self):
+        self._flush_train_logs()
         self._valid_start_time = time.time()
         self.logger.info("Valid")
         self.epoch_valid_outputs = []

@@ -92,6 +92,7 @@ class CPCSAMConfig:
         lr_warmup_iter: int = 5000,
         save_freq_epoch: int = 100,
         valid_freq_iter: int = 200,
+        log_every_iters: int = 1,
         save_metric_name: str = "dice",
         maximum_save_metric: bool | None = None,
         loss_name: str = "dice+ce",
@@ -158,6 +159,7 @@ class CPCSAMConfig:
         self.lr_warmup_iter = lr_warmup_iter
         self.save_freq_epoch = save_freq_epoch
         self.valid_freq_iter = valid_freq_iter
+        self.log_every_iters = log_every_iters
         self.save_metric_name = save_metric_name
         self.maximum_save_metric = maximum_save_metric
         self.loss_name = loss_name
@@ -263,6 +265,7 @@ class CPCSAMTrainer(BaseTrainer):
         self.current_epoch = 0
         self.current_patience = 0
         self.params = None
+        self._pending_train_logs = []
 
     # ------------------------------------------------------------------
     def initialize(self):
@@ -829,15 +832,44 @@ class CPCSAMTrainer(BaseTrainer):
             self.params, self.opt_state, self.memory, images, labels, rng,
             jnp.asarray(self.current_iter),
         )
-        losses = [float(metrics[k]) for k in ("loss", "loss1", "loss2", "loss3")]
-        self.logger.info(f"lr: {float(metrics['lr'])}")
-        self.logger.info(f"Loss: {losses}")
-        self.epoch_train_outputs.append({"loss": losses})
+        log_every = max(1, int(getattr(self.config, "log_every_iters", 1)))
+        if log_every <= 1:
+            # ONE device fetch for all five scalars (five separate float()
+            # casts would each pay a TPU-tunnel round trip)
+            vals = jax.device_get(
+                [metrics[k] for k in ("loss", "loss1", "loss2", "loss3", "lr")]
+            )
+            losses = [float(v) for v in vals[:4]]
+            self.logger.info(f"lr: {float(vals[4])}")
+            self.logger.info(f"Loss: {losses}")
+            self.epoch_train_outputs.append({"loss": losses})
+        else:
+            # defer the fetch: stash device scalars, flush every log_every
+            # steps so dispatch runs ahead of the tunnel (same scheme as
+            # ALTrainer.train_step)
+            self._pending_train_logs.append((self.current_iter, metrics))
+            if (self.current_iter + 1) % log_every == 0:
+                self._flush_train_logs()
         self.logger.info(
             f"Iteration time elapsed: {time.time() - start:.3f} seconds"
         )
         self.logger.info("")
         self.current_iter += 1
+
+    def _flush_train_logs(self):
+        """Fetch buffered device metric scalars (one host sync for the whole
+        window) and emit the deferred log records."""
+        if not getattr(self, "_pending_train_logs", None):
+            return
+        pending, self._pending_train_logs = self._pending_train_logs, []
+        keys = ("loss", "loss1", "loss2", "loss3", "lr")
+        flat = jax.device_get([[m[k] for k in keys] for _, m in pending])
+        for (step_idx, _), vals in zip(pending, flat):
+            losses = [float(v) for v in vals[:4]]
+            self.logger.info(
+                f"Iteration {step_idx} lr: {float(vals[4])} Loss: {losses}"
+            )
+            self.epoch_train_outputs.append({"loss": losses})
 
     def valid_step(self, sampled_batch):
         metric_list, loss = test_single_volume(
@@ -922,6 +954,7 @@ class CPCSAMTrainer(BaseTrainer):
 
     def valid(self):
         if self.current_iter % self.config.valid_freq_iter == 0:
+            self._flush_train_logs()
             self.epoch_valid_outputs = []
             for sampled_batch in self.valid_dataloader:
                 self.valid_step(sampled_batch)
@@ -948,6 +981,7 @@ class CPCSAMTrainer(BaseTrainer):
                     break
                 self.train_step(sampled_batch)
                 self.valid()
+            self._flush_train_logs()
             if (
                 self.config.save_freq_epoch
                 and (self.current_epoch + 1) % self.config.save_freq_epoch == 0

@@ -7,8 +7,11 @@ chip, and every restart / AL-round resume would otherwise pay that again.
 ``enable_compilation_cache`` points JAX's persistent cache at a directory so
 recompiles of unchanged programs are disk hits.
 
-Opt-in via ``Config(compilation_cache_dir=...)`` on the trainers or the
-``MIA_COMPILATION_CACHE`` environment variable; trainers call
+Default-ON at ``~/.cache/mia_tpu/xla_cache`` (the cache is keyed by HLO +
+compiler version, so staleness cannot mis-hit); override the directory with
+``Config(compilation_cache_dir=...)`` on the trainers or the
+``MIA_COMPILATION_CACHE`` environment variable, or disable entirely with
+``MIA_COMPILATION_CACHE=""``. Trainers call
 :func:`maybe_enable_compilation_cache` during ``initialize``.
 """
 
@@ -53,12 +56,31 @@ def enable_compilation_cache(cache_dir: str | Path) -> bool:
         return False
 
 
-def maybe_enable_compilation_cache(explicit_dir: str | None = None) -> bool:
-    """Enable the cache from an explicit config value or ``MIA_COMPILATION_CACHE``.
+_DEFAULT_DIR = "~/.cache/mia_tpu/xla_cache"
 
-    Returns False (and does nothing) when neither is set.
+
+def maybe_enable_compilation_cache(explicit_dir: str | None = None) -> bool:
+    """Enable the cache from an explicit config value, ``MIA_COMPILATION_CACHE``,
+    or (on TPU) the default user-cache directory.
+
+    Precedence: ``explicit_dir`` > env var > default. An EMPTY env var
+    (``MIA_COMPILATION_CACHE=""``) disables the cache. The default-ON path
+    applies only to the TPU backend: TPU programs take minutes to compile,
+    while XLA:CPU caches AOT machine code whose CPU-feature stamp can
+    mismatch across hosts sharing a home directory (load-time SIGILL
+    warnings). Returns False when disabled or unavailable.
     """
-    target = explicit_dir or os.environ.get(_ENV_VAR)
+    target = explicit_dir
     if not target:
+        target = os.environ.get(_ENV_VAR)
+        if target is None:  # unset → default-ON on TPU only
+            try:
+                import jax
+
+                backend = jax.default_backend()
+            except Exception:  # pragma: no cover
+                backend = ""
+            target = _DEFAULT_DIR if backend == "tpu" else None
+    if not target:  # MIA_COMPILATION_CACHE="" (or non-TPU default) → off
         return False
     return enable_compilation_cache(target)

@@ -318,3 +318,33 @@ def test_device_eval_matches_host_pipeline(fugc_root, tmp_path, slices_mode):
     np.testing.assert_allclose(got_all, exp_all, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(got_cls, exp_cls, rtol=1e-5, atol=1e-6)
     assert abs(got_loss - exp_loss) < 1e-4
+
+
+def test_deferred_logging_matches_per_iter(fugc_root, tmp_path):
+    """log_every_iters > 1 must record exactly the same (step, lr, loss)
+    triples as the per-iteration path — only the fetch cadence changes."""
+
+    def run(mode_dir, log_every):
+        trainer = _tiny_trainer(
+            fugc_root, tmp_path / mode_dir, log_every_iters=log_every,
+            num_rounds=1, num_iters=4, valid_freq_iter=4,
+        )
+        records = []
+        orig = trainer._record_train_loss
+
+        def spy(step_index, lr, loss):
+            records.append((step_index, lr, loss))
+            return orig(step_index, lr, loss)
+
+        trainer._record_train_loss = spy
+        trainer.initialize()
+        trainer.run_training()
+        return records
+
+    per_iter = run("le1", 1)
+    deferred = run("le3", 3)
+    assert len(per_iter) == len(deferred) == 4
+    for (s1, lr1, l1), (s2, lr2, l2) in zip(per_iter, deferred):
+        assert s1 == s2
+        np.testing.assert_allclose(lr1, lr2, rtol=1e-6)
+        np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-6)

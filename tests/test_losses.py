@@ -166,6 +166,24 @@ def test_poly_warmup_schedule():
     np.testing.assert_allclose(float(sched_i(0)), 0.01 * 1 / 2, rtol=1e-6)
 
 
+def test_schedules_host_numpy_matches_traced():
+    # host calls (Python int step) must evaluate in numpy — no device
+    # dispatch per train-loop iteration — and agree with the traced path
+    import jax
+    import jax.numpy as jnp
+
+    for sched in (
+        poly_warmup_schedule(0.01, max_steps=100, warmup_steps=10),
+        sigmoid_ramp_up(2.0, max_steps=40),
+        linear_ramp_up(3.0, max_steps=30),
+    ):
+        for step in [0, 7, 29, 99]:
+            host = sched(step)
+            assert isinstance(host, (float, np.floating, np.ndarray)), type(host)
+            traced = jax.jit(sched)(jnp.asarray(step))
+            np.testing.assert_allclose(float(host), float(traced), rtol=1e-5)
+
+
 def test_ramps():
     s = sigmoid_ramp_up(2.0, max_steps=40)
     np.testing.assert_allclose(float(s(0)), 2.0 * np.exp(-5.0), rtol=1e-6)
