@@ -1034,7 +1034,7 @@ class ALTrainer(BaseTrainer):
         m_back_w[:w] = pil_nearest_matrix(w, mw, mw)
         return m_img_h, m_img_w, m_lbl_h, m_lbl_w, m_back_h, m_back_w
 
-    def _eval_batch(self, sampled_batch):
+    def _eval_batch_device(self, sampled_batch):
         """Shared valid/test evaluation of one host batch.
 
         One jitted device program per (bucket shape, mode): z-score →
@@ -1081,7 +1081,7 @@ class ALTrainer(BaseTrainer):
             sp = np.ones(3, np.float32)
 
         program = self._eval_program_slices if slices_mode else self._eval_program_vol
-        metric_all, per_cls, loss = program(
+        out = program(
             self.state.params,
             self.state.batch_stats,
             jnp.asarray(images_p),
@@ -1091,6 +1091,10 @@ class ALTrainer(BaseTrainer):
             jnp.asarray([n, h, w], jnp.int32),
             jnp.asarray(sp),
         )
+        return out, n
+
+    @staticmethod
+    def _finalize_eval(metric_all, per_cls, loss, n):
         metric_all = np.atleast_2d(np.asarray(metric_all))[:n]
         per_cls = np.asarray(per_cls)
         if per_cls.ndim == 2:
@@ -1098,12 +1102,17 @@ class ALTrainer(BaseTrainer):
         per_cls = per_cls[:n]
         return metric_all, per_cls, float(loss)
 
+    def _eval_batch(self, sampled_batch):
+        (metric_all, per_cls, loss), n = self._eval_batch_device(sampled_batch)
+        return self._finalize_eval(metric_all, per_cls, loss, n)
+
     def valid_step(self, sampled_batch):
+        # keep results ON DEVICE: on_valid_epoch_end fetches the whole
+        # epoch in one device_get, so per-case dispatch runs ahead of the
+        # TPU tunnel instead of syncing after every volume
         with trace_span("valid/step"):
-            metric_all, metric, loss = self._eval_batch(sampled_batch)
-        self.epoch_valid_outputs.append(
-            {"metric_all": metric_all, "metric": metric, "loss": loss}
-        )
+            out, n = self._eval_batch_device(sampled_batch)
+        self.epoch_valid_outputs.append((out, n))
 
     def on_valid_epoch_start(self):
         self._flush_train_logs()
@@ -1117,6 +1126,18 @@ class ALTrainer(BaseTrainer):
 
     def on_valid_epoch_end(self):
         import warnings
+
+        # ONE host sync for the whole epoch's device metric programs
+        fetched = jax.device_get([out for out, _ in self.epoch_valid_outputs])
+        self.epoch_valid_outputs = [
+            dict(
+                zip(
+                    ("metric_all", "metric", "loss"),
+                    self._finalize_eval(*vals, n),
+                )
+            )
+            for vals, (_, n) in zip(fetched, self.epoch_valid_outputs)
+        ]
 
         with warnings.catch_warnings():
             warnings.simplefilter("ignore", RuntimeWarning)
@@ -1252,8 +1273,10 @@ class ALTrainer(BaseTrainer):
         )
 
         metric_all_list, metric_list = [], []
-        for sampled_batch in test_loader:
-            metric_all, metric, _ = self._eval_batch(sampled_batch)
+        device_outs = [self._eval_batch_device(b) for b in test_loader]
+        fetched = jax.device_get([out for out, _ in device_outs])
+        for vals, (_, n) in zip(fetched, device_outs):
+            metric_all, metric, _ = self._finalize_eval(*vals, n)
             metric_all_list.extend(metric_all)
             metric_list.extend(metric)
 
