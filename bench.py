@@ -98,6 +98,28 @@ def bench_unet(augmented: bool):
     return _time_step(step, state, images, labels)
 
 
+def bench_unet_infer():
+    """UNet inference (jitted predict: forward + softmax + argmax), img/s
+    at batch 64 — BASELINE.md's second half of the primary metric."""
+    import jax
+    import jax.numpy as jnp
+
+    from mia_tpu.training import make_predict_fn
+
+    step, state, images, labels = _build_unet_step(False)
+    del step, labels
+    predict = make_predict_fn()
+    x = images[:64]
+    probs, pred = predict(state, x)
+    _sync(pred)
+    iters = 20
+    start = time.perf_counter()
+    for _ in range(iters):
+        probs, pred = predict(state, x)
+    _sync(pred)
+    return round(x.shape[0] * iters / (time.perf_counter() - start), 1)
+
+
 def bench_unet_mfu():
     """Bare-step MFU from XLA's own cost analysis."""
     import jax
@@ -340,6 +362,7 @@ def main():
 
     for key, fn in (
         ("unet_train_bare_img_per_sec", lambda: bench_unet_mfu()),
+        ("unet_infer_img_per_sec", bench_unet_infer),
         ("sam_encoder_img_per_sec", bench_sam_encoder),
         ("cpcsam_img_per_sec", bench_cpcsam_steps),
         ("al_round_seconds", bench_al_round),

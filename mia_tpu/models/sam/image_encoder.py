@@ -254,10 +254,18 @@ class Attention(nn.Module):
         )
         proj = nn.Dense(self.dim, dtype=self.dtype, name="proj")
 
-        def compute_qkv(y):
-            """(B', H', W', C) → (B', N', 3, heads, head_dim)."""
+        def compute_qkv_flat(y):
+            """(B', H', W', C) → (B', N', 3·dim) — the raw Dense layout.
+
+            LoRA adds land on contiguous last-axis slices (q = [..., :dim],
+            v = [..., 2·dim:], identical bytes to the 5D slot adds). The
+            packed attention path consumes THIS layout end-to-end so the
+            backward's qkv cotangent stays in one layout for the kernel,
+            the rel-term einsums, and the Dense gradient GEMMs (the 5D
+            round-trip used to cost ~10 ms of layout copies per encoder
+            fwd+bwd — docs/PERF.md §8)."""
             bb, hh, ww, _ = y.shape
-            qkv = qkv_dense(y).reshape(bb, hh * ww, 3, self.num_heads, head_dim)
+            qkv = qkv_dense(y).reshape(bb, hh * ww, 3 * self.dim)
             if self.lora_rank > 0:
                 # frozen-base LoRA: q += x @ A_q @ B_q ; v += x @ A_v @ B_v
                 def lora(name):
@@ -266,11 +274,18 @@ class Attention(nn.Module):
                     d = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
                                  kernel_init=nn.initializers.zeros,
                                  name=f"lora_b_{name}")(a)
-                    return d.reshape(bb, hh * ww, self.num_heads, head_dim)
+                    return d.reshape(bb, hh * ww, self.dim)
 
-                qkv = qkv.at[:, :, 0].add(lora("q"))
-                qkv = qkv.at[:, :, 2].add(lora("v"))
+                qkv = qkv.at[..., : self.dim].add(lora("q"))
+                qkv = qkv.at[..., 2 * self.dim :].add(lora("v"))
             return qkv
+
+        def compute_qkv(y):
+            """(B', H', W', C) → (B', N', 3, heads, head_dim)."""
+            bb, hh, ww, _ = y.shape
+            return compute_qkv_flat(y).reshape(
+                bb, hh * ww, 3, self.num_heads, head_dim
+            )
 
         if self.use_rel_pos:
             size = self.input_size
@@ -357,12 +372,18 @@ class Attention(nn.Module):
                     h, w = full_h, full_w
                 bw = x.shape[0]
                 n = h * w
-                qkv = compute_qkv(x)
+                # stay in the flat token-major qkv layout: kernel, rel-term
+                # einsums, and the Dense backward all see ONE layout, so the
+                # qkv cotangent needs no 5D↔3D normalization copies
+                qkv = compute_qkv_flat(x)
                 rel_h, rel_w = decomposed_rel_terms_packed(
-                    qkv[:, :, 0], rel_pos_h, rel_pos_w, (h, w), (h, w)
+                    qkv[..., : self.dim].reshape(
+                        bw, n, self.num_heads, head_dim
+                    ),
+                    rel_pos_h, rel_pos_w, (h, w), (h, w),
                 )
                 out = fused_attention_rel_packed(
-                    qkv.reshape(bw, n, 3 * self.dim),
+                    qkv,
                     rel_h,
                     rel_w,
                     scale,
