@@ -214,7 +214,12 @@ class Attention(nn.Module):
     (B·nW, ws, ws, C) layout (shared across a run of consecutive windowed
     blocks); pad tokens are re-zeroed in place of a fresh partition and the
     context is returned without unpartitioning. ``grid_hw`` carries the
-    static ((hp, wp), (h, w)) geometry for the pad mask."""
+    static ((hp, wp), (h, w)) geometry for the pad mask.
+
+    ``windowed_input``: the input is in the partitioned (B·nW, ws, ws, C)
+    layout with EXACTLY-ZERO pad tokens (the fused LN+partition kernel's
+    output, ``ops/ln_window.py``); no partition or re-masking happens here
+    and the output IS unpartitioned back to the grid via ``grid_hw``."""
 
     dim: int
     num_heads: int = 8
@@ -226,6 +231,7 @@ class Attention(nn.Module):
     fused: str = "auto"  # "auto" | "always" | "never"
     window_size: int = 0  # 0 = global; >0 = window attention handled here
     pre_windowed: bool = False
+    windowed_input: bool = False
     grid_hw: Tuple[Tuple[int, int], Tuple[int, int]] | None = None
 
     @nn.compact
@@ -235,8 +241,8 @@ class Attention(nn.Module):
         scale = head_dim**-0.5
         ws = self.window_size
 
-        already_windowed = self.pre_windowed and ws > 0
-        if already_windowed:
+        already_windowed = (self.pre_windowed or self.windowed_input) and ws > 0
+        if self.pre_windowed and ws > 0:
             # shared-partition run: input is (B·nW, ws, ws, C) with stale pad
             # tokens; re-zeroing them reproduces exactly what a fresh
             # ``window_partition`` of the post-LN1 grid would contain.
@@ -253,6 +259,19 @@ class Attention(nn.Module):
             self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv"
         )
         proj = nn.Dense(self.dim, dtype=self.dtype, name="proj")
+        # LoRA modules constructed ONCE so compute_qkv may be called more
+        # than once (e.g. the grid-native path's bias_kv probe) with flax
+        # parameter sharing instead of a NameInUseError
+        lora_mods = {
+            nm: (
+                nn.Dense(self.lora_rank, use_bias=False, dtype=self.dtype,
+                         name=f"lora_a_{nm}"),
+                nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                         kernel_init=nn.initializers.zeros,
+                         name=f"lora_b_{nm}"),
+            )
+            for nm in (("q", "v") if self.lora_rank > 0 else ())
+        }
 
         def compute_qkv_flat(y):
             """(B', H', W', C) → (B', N', 3·dim) — the raw Dense layout.
@@ -269,12 +288,8 @@ class Attention(nn.Module):
             if self.lora_rank > 0:
                 # frozen-base LoRA: q += x @ A_q @ B_q ; v += x @ A_v @ B_v
                 def lora(name):
-                    a = nn.Dense(self.lora_rank, use_bias=False, dtype=self.dtype,
-                                 name=f"lora_a_{name}")(y)
-                    d = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
-                                 kernel_init=nn.initializers.zeros,
-                                 name=f"lora_b_{name}")(a)
-                    return d.reshape(bb, hh * ww, self.dim)
+                    a_mod, b_mod = lora_mods[name]
+                    return b_mod(a_mod(y)).reshape(bb, hh * ww, self.dim)
 
                 qkv = qkv.at[..., : self.dim].add(lora("q"))
                 qkv = qkv.at[..., 2 * self.dim :].add(lora("v"))
@@ -304,6 +319,7 @@ class Attention(nn.Module):
             from ...ops.attention import (
                 attention_rel_with_padding,
                 fused_attention_rel_packed,
+                fused_attention_rel_packed_ik,
                 fused_attention_rel_win,
                 packed_attention_available,
                 windowed_attention_available,
@@ -376,25 +392,52 @@ class Attention(nn.Module):
                 # einsums, and the Dense backward all see ONE layout, so the
                 # qkv cotangent needs no 5D↔3D normalization copies
                 qkv = compute_qkv_flat(x)
-                rel_h, rel_w = decomposed_rel_terms_packed(
-                    qkv[..., : self.dim].reshape(
-                        bw, n, self.num_heads, head_dim
-                    ),
-                    rel_pos_h, rel_pos_w, (h, w), (h, w),
-                )
-                out = fused_attention_rel_packed(
-                    qkv,
-                    rel_h,
-                    rel_w,
-                    scale,
-                    (h, w),
-                    self.num_heads,
-                    None,
-                    interpret,
-                )
+                if ws > 0:
+                    # windowed: rel TERMS computed IN-KERNEL from the tiny
+                    # gathered tables — the out-of-kernel einsum's operand/
+                    # result transposes were ~5 ms of the encoder fwd+bwd
+                    # (docs/PERF.md §16); candidate-matmul cost is trivial
+                    # at 14×14 windows
+                    rh = resize_rel_pos(rel_pos_h, 2 * ws - 1)[
+                        jnp.asarray(_rel_pos_indices(ws, ws))
+                    ]  # (ws, ws, head_dim)
+                    rw = resize_rel_pos(rel_pos_w, 2 * ws - 1)[
+                        jnp.asarray(_rel_pos_indices(ws, ws))
+                    ]
+                    out = fused_attention_rel_packed_ik(
+                        qkv,
+                        rh.reshape(ws * ws, head_dim).astype(self.dtype),
+                        rw.reshape(ws * ws, head_dim).astype(self.dtype),
+                        scale,
+                        (h, w),
+                        self.num_heads,
+                        None,
+                        interpret,
+                    )
+                else:
+                    rel_h, rel_w = decomposed_rel_terms_packed(
+                        qkv[..., : self.dim].reshape(
+                            bw, n, self.num_heads, head_dim
+                        ),
+                        rel_pos_h, rel_pos_w, (h, w), (h, w),
+                    )
+                    out = fused_attention_rel_packed(
+                        qkv,
+                        rel_h,
+                        rel_w,
+                        scale,
+                        (h, w),
+                        self.num_heads,
+                        None,
+                        interpret,
+                    )
                 out = out.astype(self.dtype).reshape(bw, h, w, self.dim)
                 if ws > 0 and not already_windowed:
                     out = window_unpartition(out, ws, pad_hw, (full_h, full_w))
+                elif self.windowed_input:
+                    out = window_unpartition(
+                        out, ws, self.grid_hw[0], self.grid_hw[1]
+                    )
                 # proj commutes with the unpartition slice (linear per token)
                 return proj(out)
 
@@ -434,6 +477,8 @@ class Attention(nn.Module):
             )
             if ws > 0 and not already_windowed:
                 out = window_unpartition(out, ws, pad_hw, (full_h, full_w))
+            elif self.windowed_input:
+                out = window_unpartition(out, ws, self.grid_hw[0], self.grid_hw[1])
             return proj(out)
 
         if ws > 0 and not already_windowed:
@@ -481,7 +526,24 @@ class Attention(nn.Module):
         out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(bw, h, w, self.dim)
         if ws > 0 and not already_windowed:
             out = window_unpartition(out, ws, pad_hw, (full_h, full_w))
+        elif self.windowed_input:
+            out = window_unpartition(out, ws, self.grid_hw[0], self.grid_hw[1])
         return proj(out)
+
+
+class _LNParams(nn.Module):
+    """norm1's parameters for the fused LN+partition path — declared under
+    the SAME module name/param names as ``nn.LayerNorm`` so checkpoints and
+    torch imports are byte-identical either way."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
 
 
 class Block(nn.Module):
@@ -490,7 +552,12 @@ class Block(nn.Module):
     ``pre_windowed``: the block runs inside a shared-partition run — its
     input/output stay in the (B·nW, ws, ws, C) layout and Attention re-zeros
     pad tokens instead of re-partitioning (numerically identical for every
-    real token: LN/MLP/residual are per-token)."""
+    real token: LN/MLP/residual are per-token).
+
+    ``fuse_ln_window``: run ``window_partition(LayerNorm(x))`` as ONE Pallas
+    kernel each way (``ops/ln_window.py``) instead of an XLA LN fusion (with
+    bf16↔f32 converts) followed by a partition copy — "auto" enables it on
+    TPU for windowed blocks whenever the channel count tiles."""
 
     dim: int
     num_heads: int
@@ -504,13 +571,36 @@ class Block(nn.Module):
     fused: str = "auto"
     pre_windowed: bool = False
     grid_hw: Tuple[Tuple[int, int], Tuple[int, int]] | None = None
+    fuse_ln_window: str = "auto"  # "auto" | "always" | "never"
 
     @nn.compact
     def __call__(self, x):
+        from ...ops.ln_window import ln_window_available, ln_window_partition
+
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        ws = self.window_size
+        interpret = jax.default_backend() != "tpu"
+        use_lnw = (
+            ws > 0
+            and not self.pre_windowed
+            and self.fuse_ln_window != "never"
+            and (
+                self.fuse_ln_window == "always"
+                or (not interpret and self.fused in ("auto", "always"))
+            )
+            and ln_window_available(x.shape[-1], ws, interpret, x.shape[2])
+        )
+        if use_lnw:
+            ln_scale, ln_bias = _LNParams(self.dim, name="norm1")()
+            hw = (x.shape[1], x.shape[2])
+            pad_hw = (-(-hw[0] // ws) * ws, -(-hw[1] // ws) * ws)
+            x = ln_window_partition(x, ln_scale, ln_bias, ws,
+                                    interpret=interpret)
+        else:
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         # window partitioning happens INSIDE Attention (lets the packed
-        # fused path run the qkv Dense on the unpadded grid)
+        # fused path run the qkv Dense on the unpadded grid) unless the
+        # fused LN+partition kernel already produced windowed tokens
         x = Attention(
             dim=self.dim,
             num_heads=self.num_heads,
@@ -526,7 +616,8 @@ class Block(nn.Module):
             fused=self.fused,
             window_size=self.window_size,
             pre_windowed=self.pre_windowed,
-            grid_hw=self.grid_hw,
+            windowed_input=use_lnw,
+            grid_hw=(pad_hw, hw) if use_lnw else self.grid_hw,
             name="attn",
         )(x)
         x = shortcut + x
@@ -560,6 +651,7 @@ class ImageEncoderViT(nn.Module):
     # costs more than the saved copies (fwd 190.4 vs 235.9 img/s, fwd+bwd
     # 70.4 vs 82.9 — docs/PERF.md §6). Default off; exact-parity tested.
     share_window_runs: bool = False
+    fuse_ln_window: str = "auto"  # fused LN+partition kernel (see Block)
 
     @nn.compact
     def __call__(self, x):
@@ -593,6 +685,7 @@ class ImageEncoderViT(nn.Module):
                 fused=self.fused,
                 pre_windowed=pre_windowed,
                 grid_hw=grid_hw,
+                fuse_ln_window=self.fuse_ln_window,
                 name=f"block{i}",
             )
 

@@ -744,6 +744,351 @@ fused_attention_rel_packed.defvjp(_rel_packed_fwd, _rel_packed_bwd)
 
 
 # ---------------------------------------------------------------------------
+# in-kernel-rel packed variant: the decomposed rel-pos TERMS are computed
+# INSIDE the kernel instead of arriving as head-major (B·H, N, k) inputs.
+# Why: producing that layout from token-major q costs XLA a 5D einsum whose
+# operand/result transposes dominate the encoder's residual data-formatting
+# time (~5 ms of 0.16 ms copies per ViT-B/512 b8 fwd+bwd — the
+# `byxhc,ykc->bhyxk` transpose family), and the backward pays drel HBM
+# round trips plus the transposed VJP einsums on top. In-kernel, the terms
+# come from a CANDIDATE matmul against the (q_h·k_h, d) gathered rel table
+# (shared across heads): full = q @ rel_flatᵀ gives every (row, k) value,
+# and a static masked-slice select picks row y_n's slice per token —
+# rel_h[n, k] = full[n, y_n·k_h + k]. The select is Σ_y (y_n==y)·slice_y:
+# static lane slices + VPU masked adds (the pattern the kernels already use
+# for `dq_aug[:, d:d+k_h]`). The backward scatters drel back through the
+# same one-hots and accumulates the (q_h·k_h, d) table gradient across the
+# whole grid in a VMEM-resident f32 block (constant index map), so the only
+# rel tensors in HBM are the two tiny tables. The candidate matmul costs
+# q_h× the flops of the out-of-kernel einsum — trivial for 14×14 windows
+# (the intended use), ruinous for 32² global layers (which keep the
+# einsum path).
+# ---------------------------------------------------------------------------
+
+
+def _hw_collapse(q_h: int, k_h: int, q_w: int, k_w: int, dtype):
+    """(q_h·k_h + q_w·k_w, k_h + k_w) block-stacked identity collapsing the
+    CONCATENATED h|w candidate axis to [rel_h | rel_w] columns:
+    C[(y,j), j] = 1 for the h rows, C[nh + (x,j), k_h + j] = 1 for w."""
+    nh = q_h * k_h
+    rows = nh + q_w * k_w
+    cols = k_h + k_w
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    h_part = (r < nh) & (c < k_h) & (r % k_h == c)
+    w_part = (r >= nh) & (c >= k_h) & ((r - nh) % k_w == c - k_h)
+    return (h_part | w_part).astype(dtype)
+
+
+def _hw_piece_mask(bq: int, q_h: int, k_h: int, q_w: int, k_w: int, y_idx,
+                   x_idx):
+    """(bq, q_h·k_h + q_w·k_w) mask: h-candidate column belongs to piece
+    y_idx[n], w-candidate column to x_idx[n] (iota compares — no lane
+    slices, which Mosaic lowers ruinously at 14-col offsets)."""
+    nh = q_h * k_h
+    m = jax.lax.broadcasted_iota(jnp.int32, (bq, nh + q_w * k_w), 1)
+    in_h = m < nh
+    return (in_h & (m // k_h == y_idx)) | (
+        ~in_h & ((m - nh) // k_w == x_idx)
+    )
+
+
+def _rel_select_hw(q, thw_t, collapse, mask, out_dtype):
+    """[rel_h | rel_w](bq, k_h+k_w) from one candidate matmul against the
+    CONCATENATED [rh_flat; rw_flat] table + mask + ONE collapse matmul;
+    exactly one nonzero per output element, so the bf16 cast commutes with
+    the sum."""
+    full = jax.lax.dot_general(
+        q, thw_t, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    masked = jnp.where(mask, full, 0.0).astype(out_dtype)
+    return jax.lax.dot_general(
+        masked, collapse, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_dtype)
+
+
+def _rel_scatter_hw(drel_hw, collapse, mask):
+    """dfull[(bq, cand)] = spread(drel)·mask — inverse of
+    ``_rel_select_hw`` (broadcast matmul + mask, no slices/concats)."""
+    spread = jax.lax.dot_general(
+        drel_hw, collapse, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(drel_hw.dtype)
+    return jnp.where(mask, spread, 0)
+
+
+def _attn_rel_packed_ik_kernel(q_ref, k_ref, v_ref, thw_ref, o_ref,
+                               *, scale: float, k_h: int, k_w: int,
+                               n_real: int, d: int):
+    gd = q_ref.shape[2]
+    g_size = gd // d
+    n_pad = k_ref.shape[1]
+    q_h = n_real // k_w
+    e_h_t, e_w_t = _onehot_expanders_t(k_h, k_w, n_pad, n_real, q_ref.dtype)
+    scale_lo = jnp.asarray(scale, q_ref.dtype)
+    padded = n_pad > n_real
+    bq = q_ref.shape[1]
+    row = (
+        jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+        + pl.program_id(2) * bq
+    )
+    y_idx = row // k_w
+    x_idx = row % k_w
+    thw_t = thw_ref[...]  # (q_h·k_h + q_w·k_w, d) — [rh_flat; rw_flat]
+    collapse = _hw_collapse(q_h, k_h, k_w, k_w, q_ref.dtype)
+    hw_mask = _hw_piece_mask(bq, q_h, k_h, k_w, k_w, y_idx, x_idx)
+    if padded:
+        kmask = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0) < n_real
+    for gi in range(g_size):
+        sl = slice(gi * d, (gi + 1) * d)
+        q = q_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        rel_hw = _rel_select_hw(q, thw_t, collapse, hw_mask, q.dtype)
+        q_aug = jnp.concatenate([q * scale_lo, rel_hw], axis=1)
+        k_aug = jnp.concatenate([k_ref[0, :, sl], e_h_t, e_w_t], axis=1)
+        s = jax.lax.dot_general(
+            q_aug, k_aug, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if padded:
+            col = jax.lax.broadcasted_iota(jnp.int32, (bq, n_pad), 1)
+            s = jnp.where(col < n_real, s, _NEG_INF)
+            v = jnp.where(kmask, v, 0)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            (p / denom).astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+def _fused_rel_packed_ik_fwd_impl(qkv, rh_flat, rw_flat, scale, k_hw,
+                                  num_heads, block_q, interpret):
+    b, n, three_hd = qkv.shape
+    k_h, k_w = k_hw
+    if n != k_h * k_w:
+        raise ValueError(f"token count {n} != k_h*k_w {k_h * k_w}")
+    d = three_hd // (3 * num_heads)
+    if block_q is None:
+        block_q = _pick_block_q(pad_for_attention(n, 128))
+    grid, block_q, block_g, n_kblk, q_spec, k_spec, v_spec, _ = _packed_layout(
+        b, n, num_heads, d, block_q, bwd=False, interpret=interpret,
+        itemsize=jnp.dtype(qkv.dtype).itemsize, ka=k_h + k_w,
+    )
+    thw = jnp.concatenate([rh_flat, rw_flat], axis=0)
+    tab_spec = pl.BlockSpec(thw.shape, lambda b, g, i: (0, 0))
+    return pl.pallas_call(
+        functools.partial(
+            _attn_rel_packed_ik_kernel,
+            scale=scale, k_h=k_h, k_w=k_w, n_real=n, d=d,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, num_heads * d), qkv.dtype),
+        grid=grid,
+        in_specs=[q_spec, k_spec, v_spec, tab_spec],
+        out_specs=pl.BlockSpec(
+            (1, block_q, block_g * d), lambda b, g, i: (b, i, g)
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, thw)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def fused_attention_rel_packed_ik(qkv, rh_flat, rw_flat, scale, k_hw,
+                                  num_heads, block_q=None, interpret=False):
+    """``fused_attention_rel_packed`` with IN-KERNEL rel terms: takes the
+    (q_h·k_h, d)/(q_w·k_w, d) gathered rel tables (shared across heads)
+    instead of precomputed per-token terms. Returns (B, N, H·D)."""
+    return _fused_rel_packed_ik_fwd_impl(
+        qkv, rh_flat, rw_flat, scale, k_hw, num_heads, block_q, interpret
+    )
+
+
+def _rel_packed_ik_fwd(qkv, rh_flat, rw_flat, scale, k_hw, num_heads,
+                       block_q, interpret):
+    out = _fused_rel_packed_ik_fwd_impl(
+        qkv, rh_flat, rw_flat, scale, k_hw, num_heads, block_q, interpret
+    )
+    return out, (qkv, rh_flat, rw_flat, out)
+
+
+def _rel_packed_ik_bwd_kernel(q_ref, k_ref, v_ref, thw_ref, o_ref,
+                              g_ref, dq_ref, dk_ref, dv_ref, dthw_ref,
+                              *, scale: float, k_h: int, k_w: int,
+                              n_real: int, d: int, accum: bool = True):
+    gd = q_ref.shape[2]
+    g_size = gd // d
+    n_pad = k_ref.shape[1]
+    q_h = n_real // k_w
+    e_h_t, e_w_t = _onehot_expanders_t(k_h, k_w, n_pad, n_real, q_ref.dtype)
+    scale_lo = jnp.asarray(scale, q_ref.dtype)
+    padded = n_pad > n_real
+    bq0 = q_ref.shape[1]
+    row = (
+        jax.lax.broadcasted_iota(jnp.int32, (bq0, 1), 0)
+        + pl.program_id(2) * bq0
+    )
+    y_idx = row // k_w
+    x_idx = row % k_w
+    qmask = row < n_real
+    if padded:
+        kmask = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0) < n_real
+
+    if accum:
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            dk_ref[...] = jnp.zeros_like(dk_ref)
+            dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    first = (
+        (pl.program_id(0) == 0)
+        & (pl.program_id(1) == 0)
+        & (pl.program_id(2) == 0)
+    )
+
+    @pl.when(first)
+    def _():
+        dthw_ref[...] = jnp.zeros_like(dthw_ref)
+
+    thw_t = thw_ref[...]
+    collapse = _hw_collapse(q_h, k_h, k_w, k_w, q_ref.dtype)
+    hw_mask = _hw_piece_mask(bq0, q_h, k_h, k_w, k_w, y_idx, x_idx)
+    acc_hw = jnp.zeros(dthw_ref.shape, jnp.float32)
+    for gi in range(g_size):
+        sl = slice(gi * d, (gi + 1) * d)
+        v = v_ref[0, :, sl]
+        g = g_ref[0, :, sl]
+        o = o_ref[0, :, sl]
+        # mask q rows past n_real BEFORE the candidate matmul so the table
+        # gradient only sums real tokens
+        q = jnp.where(qmask, q_ref[0, :, sl], 0)
+        rel_hw = _rel_select_hw(q, thw_t, collapse, hw_mask, q.dtype)
+        q_aug = jnp.concatenate([q * scale_lo, rel_hw], axis=1)
+        k_aug = jnp.concatenate([k_ref[0, :, sl], e_h_t, e_w_t], axis=1)
+        if padded:
+            v = jnp.where(kmask, v, 0)
+            g = jnp.where(qmask, g, 0)
+            q_aug = jnp.where(qmask, q_aug, 0)
+            k_aug = jnp.where(kmask, k_aug, 0)
+        bq = q_aug.shape[0]
+
+        s = jax.lax.dot_general(
+            q_aug, k_aug, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if padded:
+            col = jax.lax.broadcasted_iota(jnp.int32, (bq, n_pad), 1)
+            s = jnp.where(col < n_real, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        if padded:
+            p = jnp.where(qmask, p, 0.0)
+
+        delta = jnp.sum(
+            g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
+            keepdims=True,
+        )
+        if padded:
+            delta = jnp.where(qmask, delta, 0.0)
+
+        p_lo = p.astype(v.dtype)
+        dv_c = jax.lax.dot_general(
+            p_lo, g, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        ds_lo = ds.astype(q_aug.dtype)
+        dq_aug = jax.lax.dot_general(
+            ds_lo, k_aug, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_aug = jax.lax.dot_general(
+            ds_lo, q_aug, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # route the rel-term cotangents: dfull = scatter(drel) by y_n/x_n,
+        # then dq += dfull @ thw and dthw += dfullᵀ @ q
+        dfull_hw = _rel_scatter_hw(
+            dq_aug[:, d:].astype(q.dtype), collapse, hw_mask
+        )
+        dq_rel = jax.lax.dot_general(
+            dfull_hw, thw_t, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, :, sl] = (dq_aug[:, :d] * scale + dq_rel).astype(
+            dq_ref.dtype
+        )
+        acc_hw = acc_hw + jax.lax.dot_general(
+            dfull_hw, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if accum:
+            dk_ref[0, :, sl] += dk_aug[:, :d]
+            dv_ref[0, :, sl] += dv_c
+        else:  # single q-block: no zero-init/read-modify-write round trip
+            dk_ref[0, :, sl] = dk_aug[:, :d]
+            dv_ref[0, :, sl] = dv_c
+    dthw_ref[...] += acc_hw
+
+
+def _rel_packed_ik_bwd(scale, k_hw, num_heads, block_q, interpret,
+                       residuals, g):
+    qkv, rh_flat, rw_flat, out = residuals
+    b, n, three_hd = qkv.shape
+    k_h, k_w = k_hw
+    d = three_hd // (3 * num_heads)
+    hd = num_heads * d
+    if block_q is None:
+        block_q = _pick_block_q(pad_for_attention(n, 128))
+    grid, block_q, block_g, n_kblk, q_spec, k_spec, v_spec, _ = _packed_layout(
+        b, n, num_heads, d, block_q, bwd=True, interpret=interpret,
+        itemsize=jnp.dtype(qkv.dtype).itemsize, ka=k_h + k_w,
+    )
+    oi_spec = pl.BlockSpec((1, block_q, block_g * d), lambda b, g, i: (b, i, g))
+    acc_spec = pl.BlockSpec((1, n_kblk, block_g * d), lambda b, g, i: (b, 0, g))
+    thw = jnp.concatenate([rh_flat, rw_flat], axis=0)
+    tab_spec = pl.BlockSpec(thw.shape, lambda b, g, i: (0, 0))
+    dq, dk, dv, dthw = pl.pallas_call(
+        functools.partial(
+            _rel_packed_ik_bwd_kernel,
+            scale=scale, k_h=k_h, k_w=k_w, n_real=n, d=d,
+            accum=grid[2] > 1,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, hd), qkv.dtype),
+            jax.ShapeDtypeStruct((b, n, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, hd), jnp.float32),
+            jax.ShapeDtypeStruct(thw.shape, jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[q_spec, k_spec, v_spec, tab_spec, oi_spec, oi_spec],
+        out_specs=(oi_spec, acc_spec, acc_spec, tab_spec),
+        interpret=interpret,
+    )(qkv, qkv, qkv, thw, out, g)
+    dqkv = jnp.concatenate(
+        [dq, dk.astype(qkv.dtype), dv.astype(qkv.dtype)], axis=-1
+    )
+    nh = rh_flat.shape[0]
+    return (
+        dqkv,
+        dthw[:nh].astype(rh_flat.dtype),
+        dthw[nh:].astype(rw_flat.dtype),
+    )
+
+
+fused_attention_rel_packed_ik.defvjp(_rel_packed_ik_fwd, _rel_packed_ik_bwd)
+
+
+# ---------------------------------------------------------------------------
 # grid-native windowed variant: NO window partition ever touches HBM. The
 # kernels read 14x14 window tiles straight out of the UNPARTITIONED
 # (B, Hg, Wg, 3*H*D) qkv-Dense grid via row-band BlockSpecs

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--fused", default="auto", choices=["auto", "never"])
+    ap.add_argument("--lnw", default="auto", choices=["auto", "always", "never"],
+                    help="fused LayerNorm+window-partition kernel")
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--mode", default="both", choices=["fwd", "bwd", "both"])
     args = ap.parse_args()
@@ -48,6 +50,7 @@ def main():
         global_attn_indexes=(2, 5, 8, 11),
         dtype=dtype,
         fused=args.fused,
+        fuse_ln_window=args.lnw,
     )
     rng = jax.random.PRNGKey(0)
     x = jnp.asarray(

@@ -329,3 +329,65 @@ def test_fused_rel_packed_matches_headmajor(rng):
     for a, b_ in zip(gf, gr):
         assert np.isfinite(np.asarray(a)).all()
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "k_hw,b,heads,d,block_q",
+    [
+        ((8, 16), 2, 4, 32, 128),   # aligned single q-block
+        ((14, 14), 2, 2, 64, 128),  # SAM window: n=196, TWO q-blocks (accum)
+        ((14, 14), 3, 4, 32, None), # auto block_q, 3 batches (grid revisit)
+    ],
+)
+def test_packed_ik_matches_packed_with_external_rel(rng, k_hw, b, heads, d,
+                                                    block_q):
+    """In-kernel-rel packed kernel vs the packed kernel fed the SAME rel
+    terms computed by the external einsum — fwd, dqkv, and BOTH rel-table
+    gradients (the in-kernel candidate matmul + one-hot select/scatter must
+    be exactly the einsum's math)."""
+    from mia_tpu.ops.attention import (
+        fused_attention_rel_packed,
+        fused_attention_rel_packed_ik,
+    )
+
+    k_h, k_w = k_hw
+    n = k_h * k_w
+    hd = heads * d
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * hd)), jnp.float32)
+    rhf = jnp.asarray(rng.standard_normal((k_h * k_h, d)), jnp.float32) * 0.2
+    rwf = jnp.asarray(rng.standard_normal((k_w * k_w, d)), jnp.float32) * 0.2
+
+    def external(qkv, rhf, rwf):
+        q5 = qkv[..., :hd].reshape(b, k_h, k_w, heads, d)
+        rel_h = jnp.einsum(
+            "byxhc,ykc->bhyxk", q5, rhf.reshape(k_h, k_h, d)
+        ).reshape(b * heads, n, k_h)
+        rel_w = jnp.einsum(
+            "byxhc,xkc->bhyxk", q5, rwf.reshape(k_w, k_w, d)
+        ).reshape(b * heads, n, k_w)
+        return fused_attention_rel_packed(
+            qkv, rel_h, rel_w, 0.25, (k_h, k_w), heads, block_q, True
+        )
+
+    def inkernel(qkv, rhf, rwf):
+        return fused_attention_rel_packed_ik(
+            qkv, rhf, rwf, 0.25, (k_h, k_w), heads, block_q, True
+        )
+
+    out_e = external(qkv, rhf, rwf)
+    out_i = inkernel(qkv, rhf, rwf)
+    np.testing.assert_allclose(
+        np.asarray(out_i), np.asarray(out_e), rtol=1e-4, atol=1e-5
+    )
+
+    ge = jax.grad(lambda *a: jnp.sum(external(*a) ** 2), argnums=(0, 1, 2))(
+        qkv, rhf, rwf
+    )
+    gi = jax.grad(lambda *a: jnp.sum(inkernel(*a) ** 2), argnums=(0, 1, 2))(
+        qkv, rhf, rwf
+    )
+    for a, b_ in zip(ge, gi):
+        assert np.isfinite(np.asarray(b_)).all()
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=1e-3, atol=1e-4
+        )
