@@ -284,12 +284,18 @@ class Attention(nn.Module):
             round-trip used to cost ~10 ms of layout copies per encoder
             fwd+bwd — docs/PERF.md §8)."""
             bb, hh, ww, _ = y.shape
-            qkv = qkv_dense(y).reshape(bb, hh * ww, 3 * self.dim)
+            # flatten tokens BEFORE the Dense: on the 4D (B', 14, 14, C)
+            # operand XLA assigns the GEMM a {3,0,2,1} output layout and
+            # then pays a ~0.1 ms copy per block to feed the row-major
+            # Pallas kernel operand; on the 3D token view the GEMM output
+            # is already the kernel's layout
+            y = y.reshape(bb, hh * ww, y.shape[-1])
+            qkv = qkv_dense(y)
             if self.lora_rank > 0:
                 # frozen-base LoRA: q += x @ A_q @ B_q ; v += x @ A_v @ B_v
                 def lora(name):
                     a_mod, b_mod = lora_mods[name]
-                    return b_mod(a_mod(y)).reshape(bb, hh * ww, self.dim)
+                    return b_mod(a_mod(y))
 
                 qkv = qkv.at[..., : self.dim].add(lora("q"))
                 qkv = qkv.at[..., 2 * self.dim :].add(lora("v"))
@@ -598,9 +604,10 @@ class Block(nn.Module):
                                     interpret=interpret)
         else:
             x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        # window partitioning happens INSIDE Attention (lets the packed
-        # fused path run the qkv Dense on the unpadded grid) unless the
-        # fused LN+partition kernel already produced windowed tokens
+        # window partitioning happens INSIDE Attention (lets the
+        # grid-native fused path run the qkv Dense on the unpadded grid;
+        # the packed path partitions first, then runs the Dense) unless
+        # the fused LN+partition kernel already produced windowed tokens
         x = Attention(
             dim=self.dim,
             num_heads=self.num_heads,
@@ -623,6 +630,33 @@ class Block(nn.Module):
         x = shortcut + x
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         return x + MLPBlock(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
+
+
+class _PatchEmbedMM(nn.Module):
+    """Non-overlapping patch embed as reshape + ONE matmul — numerically the
+    same contraction as the stride-16 conv (reference
+    ``image_encoder.py:380-395``) but avoids XLA's convolution path, which
+    at (16,16)/16 costs a {0,3,2,1} input layout copy plus a conv kernel at
+    ~13 TF/s (~1.5 ms of the ViT-B/512 b8 step, docs/PERF.md). Parameters
+    are declared with the conv's exact names/shapes (kernel (P,P,C,D) HWIO,
+    bias (D,)) so checkpoints and torch imports are unchanged."""
+
+    patch: int
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.patch
+        b, h, w, c = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (p, p, c, self.dim)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        x = x.reshape(b, h // p, p, w // p, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // p, w // p, p * p * c)
+        k = kernel.astype(self.dtype).reshape(p * p * c, self.dim)
+        return x @ k + bias.astype(self.dtype)
 
 
 class ImageEncoderViT(nn.Module):
@@ -652,18 +686,25 @@ class ImageEncoderViT(nn.Module):
     # 70.4 vs 82.9 — docs/PERF.md §6). Default off; exact-parity tested.
     share_window_runs: bool = False
     fuse_ln_window: str = "auto"  # fused LN+partition kernel (see Block)
+    patch_embed_mm: bool = True  # reshape+matmul patch embed (see _PatchEmbedMM)
 
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            self.embed_dim,
-            (self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            padding="VALID",
-            dtype=self.dtype,
-            name="patch_embed",
-        )(x)
+        if self.patch_embed_mm:
+            x = _PatchEmbedMM(
+                patch=self.patch_size, dim=self.embed_dim, dtype=self.dtype,
+                name="patch_embed",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.embed_dim,
+                (self.patch_size, self.patch_size),
+                strides=(self.patch_size, self.patch_size),
+                padding="VALID",
+                dtype=self.dtype,
+                name="patch_embed",
+            )(x)
         if self.use_abs_pos:
             side = self.img_size // self.patch_size
             pos = self.param(

@@ -209,11 +209,19 @@ def _attn_rel_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
         o_ref[g] = o.astype(o_ref.dtype)
 
 
-def _pick_block_q(n_pad: int) -> int:
+def _pick_block_q(n_pad: int, n_real: int | None = None) -> int:
     """Largest power-of-two block ≤ 256 dividing n_pad (n_pad is always a
-    multiple of 128 after padding). 256 measured best at both SAM shapes:
-    whole 14×14 windows in one block, and 4 blocks × group-of-3 for the
-    1024-token global layers."""
+    multiple of 128 after padding). 256 measured best at the 1024-token
+    global layers (4 blocks × group). For short sequences (one-block
+    windows), round the REAL token count up to the sublane tile (16 rows
+    covers bf16 and f32) instead of the 128-lane pad: 196-token windows
+    then run 208-row dots, not 256 — every q-dim and k-dim in the kernel
+    shrinks ~19%."""
+    if n_real is not None and n_real <= 256:
+        # floor 64: _packed_layout rejects blocks below its VMEM-tiling
+        # minimum, and tiny test windows (n_real ≤ 64) must keep a legal
+        # candidate
+        return max(64, -(-n_real // 16) * 16)
     bq = 256
     while n_pad % bq:
         bq //= 2
@@ -256,7 +264,7 @@ def _fused_rel_fwd_impl(q, k, v, rel_h, rel_w, scale, k_hw, block_q, interpret):
         raise ValueError(f"token count {n} != k_h*k_w {k_h * k_w}")
     n_real = n
     if block_q is None:
-        block_q = _pick_block_q(pad_for_attention(n, 128))
+        block_q = _pick_block_q(pad_for_attention(n, 128), n)
     # blocks need not divide the token axis: out-of-bounds reads are
     # garbage (masked in-kernel), out-of-bounds writes are dropped — no
     # HBM pad/slice round trips.
@@ -411,7 +419,7 @@ def _rel_bwd(scale, k_hw, block_q, interpret, residuals, g):
     n_real = k_h * k_w
     bh, n, d = q.shape
     if block_q is None:
-        block_q = _pick_block_q(pad_for_attention(n, 128))
+        block_q = _pick_block_q(pad_for_attention(n, 128), n)
     n_blocks = pl.cdiv(n, block_q)
     n_kblk = n_blocks * block_q
     block_g = _pick_group(bh, n_kblk, block_q, d, k_h + k_w,
@@ -521,6 +529,7 @@ def _packed_layout(b, n, num_heads, d, block_q, bwd, interpret=False,
     # footprint must fit; prefer the largest block_q, then the largest G.
     choice = None
     for bq_cand in (block_q, block_q // 2, block_q // 4):
+        bq_cand = -(-bq_cand // 16) * 16  # keep sublane-tile multiples
         if bq_cand < 64:
             continue
         cap = _pick_group(num_heads, pl.cdiv(n, bq_cand) * bq_cand,
@@ -571,7 +580,7 @@ def _fused_rel_packed_fwd_impl(qkv, rel_h, rel_w, scale, k_hw, num_heads,
         raise ValueError(f"token count {n} != k_h*k_w {k_h * k_w}")
     d = three_hd // (3 * num_heads)
     if block_q is None:
-        block_q = _pick_block_q(pad_for_attention(n, 128))
+        block_q = _pick_block_q(pad_for_attention(n, 128), n)
     grid, block_q, block_g, n_kblk, q_spec, k_spec, v_spec, rh_spec = _packed_layout(
         b, n, num_heads, d, block_q, bwd=False, interpret=interpret,
         itemsize=jnp.dtype(qkv.dtype).itemsize, ka=k_h + k_w,
@@ -706,7 +715,7 @@ def _rel_packed_bwd(scale, k_hw, num_heads, block_q, interpret, residuals, g):
     d = three_hd // (3 * num_heads)
     hd = num_heads * d
     if block_q is None:
-        block_q = _pick_block_q(pad_for_attention(n, 128))
+        block_q = _pick_block_q(pad_for_attention(n, 128), n)
     grid, block_q, block_g, n_kblk, q_spec, k_spec, v_spec, rh_spec = _packed_layout(
         b, n, num_heads, d, block_q, bwd=True, interpret=interpret,
         itemsize=jnp.dtype(qkv.dtype).itemsize, ka=k_h + k_w,
@@ -820,8 +829,8 @@ def _rel_scatter_hw(drel_hw, collapse, mask):
 
 
 def _attn_rel_packed_ik_kernel(q_ref, k_ref, v_ref, thw_ref, o_ref,
-                               *, scale: float, k_h: int, k_w: int,
-                               n_real: int, d: int):
+                               rel_ref=None, *, scale: float, k_h: int,
+                               k_w: int, n_real: int, d: int):
     gd = q_ref.shape[2]
     g_size = gd // d
     n_pad = k_ref.shape[1]
@@ -846,6 +855,14 @@ def _attn_rel_packed_ik_kernel(q_ref, k_ref, v_ref, thw_ref, o_ref,
         q = q_ref[0, :, sl]
         v = v_ref[0, :, sl]
         rel_hw = _rel_select_hw(q, thw_t, collapse, hw_mask, q.dtype)
+        if rel_ref is not None:
+            # residual for the backward: the (bq, k_h+k_w) selected rel
+            # terms, zero-padded to the d-lane head slot so the store is
+            # the same 64-aligned slice pattern as o_ref
+            rel_ref[0, :, sl] = jnp.concatenate(
+                [rel_hw,
+                 jnp.zeros((bq, d - (k_h + k_w)), rel_ref.dtype)], axis=1
+            ).astype(rel_ref.dtype)
         q_aug = jnp.concatenate([q * scale_lo, rel_hw], axis=1)
         k_aug = jnp.concatenate([k_ref[0, :, sl], e_h_t, e_w_t], axis=1)
         s = jax.lax.dot_general(
@@ -868,33 +885,37 @@ def _attn_rel_packed_ik_kernel(q_ref, k_ref, v_ref, thw_ref, o_ref,
 
 
 def _fused_rel_packed_ik_fwd_impl(qkv, rh_flat, rw_flat, scale, k_hw,
-                                  num_heads, block_q, interpret):
+                                  num_heads, block_q, interpret,
+                                  save_rel=False):
     b, n, three_hd = qkv.shape
     k_h, k_w = k_hw
     if n != k_h * k_w:
         raise ValueError(f"token count {n} != k_h*k_w {k_h * k_w}")
     d = three_hd // (3 * num_heads)
+    if save_rel and k_h + k_w > d:
+        save_rel = False  # rel terms don't fit the d-lane head slot
     if block_q is None:
-        block_q = _pick_block_q(pad_for_attention(n, 128))
+        block_q = _pick_block_q(pad_for_attention(n, 128), n)
     grid, block_q, block_g, n_kblk, q_spec, k_spec, v_spec, _ = _packed_layout(
         b, n, num_heads, d, block_q, bwd=False, interpret=interpret,
         itemsize=jnp.dtype(qkv.dtype).itemsize, ka=k_h + k_w,
     )
     thw = jnp.concatenate([rh_flat, rw_flat], axis=0)
     tab_spec = pl.BlockSpec(thw.shape, lambda b, g, i: (0, 0))
-    return pl.pallas_call(
+    o_spec = pl.BlockSpec((1, block_q, block_g * d), lambda b, g, i: (b, i, g))
+    o_shape = jax.ShapeDtypeStruct((b, n, num_heads * d), qkv.dtype)
+    out = pl.pallas_call(
         functools.partial(
             _attn_rel_packed_ik_kernel,
             scale=scale, k_h=k_h, k_w=k_w, n_real=n, d=d,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n, num_heads * d), qkv.dtype),
+        out_shape=(o_shape, o_shape) if save_rel else o_shape,
         grid=grid,
         in_specs=[q_spec, k_spec, v_spec, tab_spec],
-        out_specs=pl.BlockSpec(
-            (1, block_q, block_g * d), lambda b, g, i: (b, i, g)
-        ),
+        out_specs=(o_spec, o_spec) if save_rel else o_spec,
         interpret=interpret,
     )(qkv, qkv, qkv, thw)
+    return out if save_rel else (out, None)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
@@ -903,23 +924,29 @@ def fused_attention_rel_packed_ik(qkv, rh_flat, rw_flat, scale, k_hw,
     """``fused_attention_rel_packed`` with IN-KERNEL rel terms: takes the
     (q_h·k_h, d)/(q_w·k_w, d) gathered rel tables (shared across heads)
     instead of precomputed per-token terms. Returns (B, N, H·D)."""
-    return _fused_rel_packed_ik_fwd_impl(
+    out, _ = _fused_rel_packed_ik_fwd_impl(
         qkv, rh_flat, rw_flat, scale, k_hw, num_heads, block_q, interpret
     )
+    return out
 
 
 def _rel_packed_ik_fwd(qkv, rh_flat, rw_flat, scale, k_hw, num_heads,
                        block_q, interpret):
-    out = _fused_rel_packed_ik_fwd_impl(
-        qkv, rh_flat, rw_flat, scale, k_hw, num_heads, block_q, interpret
+    # when differentiated, the forward ALSO stores the selected rel terms
+    # (d-lane padded per head) so the backward skips the candidate +
+    # collapse matmul recompute — the most expensive part of the kernel
+    out, relhw = _fused_rel_packed_ik_fwd_impl(
+        qkv, rh_flat, rw_flat, scale, k_hw, num_heads, block_q, interpret,
+        save_rel=True,
     )
-    return out, (qkv, rh_flat, rw_flat, out)
+    return out, (qkv, rh_flat, rw_flat, out, relhw)
 
 
-def _rel_packed_ik_bwd_kernel(q_ref, k_ref, v_ref, thw_ref, o_ref,
+def _rel_packed_ik_bwd_kernel(q_ref, k_ref, v_ref, thw_ref, rel_ref, o_ref,
                               g_ref, dq_ref, dk_ref, dv_ref, dthw_ref,
                               *, scale: float, k_h: int, k_w: int,
-                              n_real: int, d: int, accum: bool = True):
+                              n_real: int, d: int, accum: bool = True,
+                              recompute_rel: bool = False):
     gd = q_ref.shape[2]
     g_size = gd // d
     n_pad = k_ref.shape[1]
@@ -963,10 +990,15 @@ def _rel_packed_ik_bwd_kernel(q_ref, k_ref, v_ref, thw_ref, o_ref,
         v = v_ref[0, :, sl]
         g = g_ref[0, :, sl]
         o = o_ref[0, :, sl]
-        # mask q rows past n_real BEFORE the candidate matmul so the table
-        # gradient only sums real tokens
+        # mask q rows past n_real BEFORE the table-gradient dot so the
+        # table gradient only sums real tokens
         q = jnp.where(qmask, q_ref[0, :, sl], 0)
-        rel_hw = _rel_select_hw(q, thw_t, collapse, hw_mask, q.dtype)
+        if recompute_rel:  # rel terms don't fit the d-lane residual slot
+            rel_hw = _rel_select_hw(q, thw_t, collapse, hw_mask, q.dtype)
+        else:
+            # rel terms come from the forward's residual (first ka lanes
+            # of the d-lane head slot) — no candidate/collapse recompute
+            rel_hw = rel_ref[0, :, sl][:, : k_h + k_w]
         q_aug = jnp.concatenate([q * scale_lo, rel_hw], axis=1)
         k_aug = jnp.concatenate([k_ref[0, :, sl], e_h_t, e_w_t], axis=1)
         if padded:
@@ -1042,13 +1074,13 @@ def _rel_packed_ik_bwd_kernel(q_ref, k_ref, v_ref, thw_ref, o_ref,
 
 def _rel_packed_ik_bwd(scale, k_hw, num_heads, block_q, interpret,
                        residuals, g):
-    qkv, rh_flat, rw_flat, out = residuals
+    qkv, rh_flat, rw_flat, out, relhw = residuals
     b, n, three_hd = qkv.shape
     k_h, k_w = k_hw
     d = three_hd // (3 * num_heads)
     hd = num_heads * d
     if block_q is None:
-        block_q = _pick_block_q(pad_for_attention(n, 128))
+        block_q = _pick_block_q(pad_for_attention(n, 128), n)
     grid, block_q, block_g, n_kblk, q_spec, k_spec, v_spec, _ = _packed_layout(
         b, n, num_heads, d, block_q, bwd=True, interpret=interpret,
         itemsize=jnp.dtype(qkv.dtype).itemsize, ka=k_h + k_w,
@@ -1057,11 +1089,15 @@ def _rel_packed_ik_bwd(scale, k_hw, num_heads, block_q, interpret,
     acc_spec = pl.BlockSpec((1, n_kblk, block_g * d), lambda b, g, i: (b, 0, g))
     thw = jnp.concatenate([rh_flat, rw_flat], axis=0)
     tab_spec = pl.BlockSpec(thw.shape, lambda b, g, i: (0, 0))
+    if relhw is None:  # ka > d: residual slot too small, recompute in-kernel
+        relhw, recompute_rel = out, True
+    else:
+        recompute_rel = False
     dq, dk, dv, dthw = pl.pallas_call(
         functools.partial(
             _rel_packed_ik_bwd_kernel,
             scale=scale, k_h=k_h, k_w=k_w, n_real=n, d=d,
-            accum=grid[2] > 1,
+            accum=grid[2] > 1, recompute_rel=recompute_rel,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, n, hd), qkv.dtype),
@@ -1070,10 +1106,11 @@ def _rel_packed_ik_bwd(scale, k_hw, num_heads, block_q, interpret,
             jax.ShapeDtypeStruct(thw.shape, jnp.float32),
         ),
         grid=grid,
-        in_specs=[q_spec, k_spec, v_spec, tab_spec, oi_spec, oi_spec],
+        in_specs=[q_spec, k_spec, v_spec, tab_spec, oi_spec, oi_spec,
+                  oi_spec],
         out_specs=(oi_spec, acc_spec, acc_spec, tab_spec),
         interpret=interpret,
-    )(qkv, qkv, qkv, thw, out, g)
+    )(qkv, qkv, qkv, thw, relhw, out, g)
     dqkv = jnp.concatenate(
         [dq, dk.astype(qkv.dtype), dv.astype(qkv.dtype)], axis=-1
     )

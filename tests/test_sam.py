@@ -262,3 +262,45 @@ def test_prompt_generation_coarse_matches_native_within_scale(rng):
         assert len(p)
         assert (p[:, 0] >= x0 * s).all() and (p[:, 0] < x1 * s).all()
         assert (p[:, 1] >= y0 * s).all() and (p[:, 1] < y1 * s).all()
+
+
+def test_patch_embed_mm_matches_conv(rng):
+    """The reshape+matmul patch embed must match the stride-P conv exactly
+    (same contraction, same parameter tree) — reference
+    ``image_encoder.py:380-395`` semantics."""
+    from mia_tpu.models.sam.image_encoder import ImageEncoderViT
+
+    kw = dict(
+        img_size=40, patch_size=4, embed_dim=32, depth=1, num_heads=2,
+        use_rel_pos=True, window_size=4, global_attn_indexes=(),
+        out_chans=16,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 40, 40, 3)), jnp.float32)
+    enc_mm = ImageEncoderViT(patch_embed_mm=True, **kw)
+    enc_conv = ImageEncoderViT(patch_embed_mm=False, **kw)
+    variables = enc_conv.init(jax.random.PRNGKey(0), x)
+    v2 = enc_mm.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v2) == jax.tree_util.tree_structure(
+        variables
+    )
+    out_c = enc_conv.apply(variables, x)
+    out_m = enc_mm.apply(variables, x)
+    # same contraction, different accumulation order (conv vs GEMM) — the
+    # residual stream amplifies ~1e-6 absolute noise through the blocks
+    np.testing.assert_allclose(
+        np.asarray(out_m), np.asarray(out_c), rtol=2e-4, atol=1e-5
+    )
+
+    def loss(enc):
+        return lambda v: jnp.sum(enc.apply(v, x).astype(jnp.float32) ** 2)
+
+    gc = jax.grad(loss(enc_conv))(variables)
+    gm = jax.grad(loss(enc_mm))(variables)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gc),
+        jax.tree_util.tree_leaves_with_path(gm),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
