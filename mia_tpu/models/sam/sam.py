@@ -422,20 +422,27 @@ class SamDualmask(nn.Module):
                 points_prompt, points_prompt_random, fit_boxes, loose_boxes,
                 mask_prompt, prompt,
             )
-            (
-                low_res_logits[prompt_idx],
-                iou_predictions[prompt_idx],
-                dense_features[prompt_idx],
-            ) = self._run_decoder(
-                prompt_idx, dropout_embeddings, sparse_p, dense_p, multimask_output
+            # the center/fit and random/loose variants run the SAME decoder
+            # on the SAME image embeddings and dense prompt — one 2B-batched
+            # pass instead of two sequential ones (identical math; the
+            # reference runs them back-to-back, ``:320-338``). The token-side
+            # ops of the two-way transformer are ~13 tokens wide and
+            # latency-bound on TPU, so halving the pass count is free
+            # throughput.
+            bsz = sparse_p.shape[0]
+            lrl2, iou2, feats2 = self._run_decoder(
+                prompt_idx,
+                jnp.concatenate([dropout_embeddings, dropout_embeddings], 0),
+                jnp.concatenate([sparse_p, sparse_r], 0),
+                jnp.concatenate([dense_p, dense_p], 0),
+                multimask_output,
             )
-            (
-                low_res_logits_r[prompt_idx],
-                iou_predictions_r[prompt_idx],
-                dense_features_r[prompt_idx],
-            ) = self._run_decoder(
-                prompt_idx, dropout_embeddings, sparse_r, dense_p, multimask_output
-            )
+            low_res_logits[prompt_idx] = lrl2[:bsz]
+            iou_predictions[prompt_idx] = iou2[:bsz]
+            dense_features[prompt_idx] = feats2[:bsz]
+            low_res_logits_r[prompt_idx] = lrl2[bsz:]
+            iou_predictions_r[prompt_idx] = iou2[bsz:]
+            dense_features_r[prompt_idx] = feats2[bsz:]
 
         masks = [
             postprocess_masks(
