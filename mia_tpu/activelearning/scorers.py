@@ -125,11 +125,16 @@ class ModelScorer:
 
             return jax.vmap(one_image)(images)
 
+        self.data_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             repl = NamedSharding(mesh, P())
             data = NamedSharding(mesh, P("data"))
+            # exported so sweep loaders can device_put straight into the
+            # batch-sharded layout instead of committing to device 0 and
+            # paying a reshard on every pool batch
+            self.data_sharding = data
             self._probs = jax.jit(
                 probs_fn, in_shardings=(repl, repl, data), out_shardings=data
             )
@@ -169,6 +174,7 @@ def sweep_pool(
     batch_size: int,
     fn,
     image_size=None,
+    sharding=None,
 ) -> tuple[np.ndarray, list[str]]:
     """Run a jitted per-batch ``fn(images) -> (B, ...)`` over a whole dataset
     with fixed-shape batches (final batch padded by repetition).
@@ -187,6 +193,7 @@ def sweep_pool(
         shuffle=False,
         drop_last=False,
         device_put=True,
+        sharding=sharding,
     )
     valids = []
     for batch in loader:

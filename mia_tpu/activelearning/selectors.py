@@ -70,6 +70,7 @@ class _UncertaintySelector(ActiveSelector):
             active_dataset.get_pool_dataset(),
             self.batch_size,
             lambda images: scorer.uncertainty(images, self.KIND),
+            sharding=scorer.data_sharding,
         )
         order = np.argsort(-scores, kind="stable")
         return [case_names[i] for i in order[:select_num]]
@@ -135,8 +136,14 @@ class CoresetSelector(ActiveSelector):
 
         feats = None
         if scorer is not None:
-            feats_l, _ = sweep_pool(labeled, self.batch_size, scorer.enc_feature)
-            feats_p, _ = sweep_pool(pool, self.batch_size, scorer.enc_feature)
+            feats_l, _ = sweep_pool(
+                labeled, self.batch_size, scorer.enc_feature,
+                sharding=scorer.data_sharding,
+            )
+            feats_p, _ = sweep_pool(
+                pool, self.batch_size, scorer.enc_feature,
+                sharding=scorer.data_sharding,
+            )
             feats = np.concatenate([feats_l, feats_p], axis=0)
 
         loaded = _load_features(all_list, self.feature_path)
@@ -222,7 +229,10 @@ class KMeanSelector(ActiveSelector):
         parts = []
         feats = None
         if scorer is not None and not self.loaded_feature_only:
-            feats, case_names = sweep_pool(dataset, self.batch_size, scorer.enc_feature)
+            feats, case_names = sweep_pool(
+                dataset, self.batch_size, scorer.enc_feature,
+                sharding=scorer.data_sharding,
+            )
             # per-sample z-score across feature dim (kmean_selector.py:100-104)
             feats = (feats - feats.mean(1, keepdims=True)) / feats.std(1, keepdims=True)
             parts.append(feats)
@@ -297,6 +307,7 @@ class BADGESelector(ActiveSelector):
             active_dataset.get_pool_dataset(),
             self.batch_size,
             scorer.badge_grad_embedding,
+            sharding=scorer.data_sharding,
         )
         idx = kmeans_plusplus(
             jax.random.PRNGKey(seed or 0), jnp.asarray(embeds), select_num

@@ -35,6 +35,12 @@ def collate(samples: list[dict]) -> dict:
     return out
 
 
+# guards decoded-cache creation/inserts/byte accounting across the
+# warm-pool daemon and loader prefetch threads (critical sections are tiny;
+# decode itself runs outside the lock)
+_DECODE_CACHE_LOCK = threading.Lock()
+
+
 def _decode_cache_budget_bytes() -> int:
     """Byte budget for the per-dataset decoded-sample cache."""
     import os
@@ -151,12 +157,21 @@ class BatchLoader:
             # this fast path requires no host transform/normalize. Budgeted
             # (MIA_DECODE_CACHE_MB, default 2048) so huge pools degrade to
             # plain decoding instead of exhausting RAM.
+            # Thread safety: the warm-pool daemon and loader prefetch
+            # threads share one base cache. Entries are never REMOVED from
+            # the shared dict (over-budget pairs stay batch-local below),
+            # so a key observed present stays readable; creation, inserts
+            # and the byte accounting go through _DECODE_CACHE_LOCK.
             cache = getattr(base, "_decoded_cache", None)
             if cache is None:
-                cache = base._decoded_cache = {}
-                base._decoded_cache_bytes = 0
+                with _DECODE_CACHE_LOCK:
+                    cache = getattr(base, "_decoded_cache", None)
+                    if cache is None:
+                        cache = base._decoded_cache = {}
+                        base._decoded_cache_bytes = 0
             budget = _decode_cache_budget_bytes()
             miss = [i for i in base_indices if i not in cache]
+            local: dict[int, tuple] = {}
             if miss:
                 paths = [base.sample_paths(i) for i in miss]
                 images, labels = native.load_image_batch(
@@ -178,23 +193,21 @@ class BatchLoader:
                 labels = labels.astype(np.uint8)  # class ids < 256
                 for j, i in enumerate(miss):
                     pair = (images[j], labels[j])
-                    if base._decoded_cache_bytes < budget:
-                        cache[i] = pair
-                        base._decoded_cache_bytes += (
-                            pair[0].nbytes + pair[1].nbytes
-                        )
-                    else:  # over budget: keep this batch only transiently
-                        cache[i] = pair
-                        base._decoded_cache_transient = getattr(
-                            base, "_decoded_cache_transient", []
-                        )
-                        base._decoded_cache_transient.append(i)
-            batch_images = np.stack([cache[i][0] for i in base_indices])
-            batch_labels = np.stack([cache[i][1] for i in base_indices])
-            for i in getattr(base, "_decoded_cache_transient", []):
-                cache.pop(i, None)
-            if hasattr(base, "_decoded_cache_transient"):
-                base._decoded_cache_transient = []
+                    with _DECODE_CACHE_LOCK:
+                        if i not in cache:
+                            if base._decoded_cache_bytes < budget:
+                                cache[i] = pair
+                                base._decoded_cache_bytes += (
+                                    pair[0].nbytes + pair[1].nbytes
+                                )
+                            else:  # over budget: keep batch-local only
+                                local[i] = pair
+            batch_images = np.stack(
+                [(local[i] if i in local else cache[i])[0] for i in base_indices]
+            )
+            batch_labels = np.stack(
+                [(local[i] if i in local else cache[i])[1] for i in base_indices]
+            )
             case_names = [base.samples_list[i] for i in base_indices]
             return {"image": batch_images, "label": batch_labels, "case_name": case_names}
         except Exception:

@@ -382,7 +382,10 @@ def specialist_feature_provider(model, variables, batch_size: int = 4):
     def provider(dataset) -> dict:
         from mia_tpu.activelearning.scorers import sweep_pool
 
-        feats, names = sweep_pool(dataset, batch_size, scorer.enc_feature)
+        feats, names = sweep_pool(
+            dataset, batch_size, scorer.enc_feature,
+            sharding=scorer.data_sharding,
+        )
         return dict(zip(names, feats))
 
     return provider

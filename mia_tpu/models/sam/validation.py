@@ -137,6 +137,8 @@ def test_single_volume(
             ]
         loss = float(np.mean(losses)) if losses else None
 
+    if classes <= 1:  # no foreground classes → empty metric list
+        return [], loss
     hd95_all, _ = _stacked_metric_programs(classes)
     vals = np.asarray(hd95_all(jnp.asarray(pred), jnp.asarray(label)))
     metric_list = [(float(d), float(h)) for d, h in vals]
@@ -177,11 +179,14 @@ def test_single_volume_mean(
         raw_spacing = (1.0, 1.0, 1.0)
     sp = tuple(float(s) for s in raw_spacing)
 
-    _, full_all = _stacked_metric_programs(classes)
-    vals = np.asarray(
-        full_all(jnp.asarray(pred), jnp.asarray(label), jnp.asarray(sp))
-    )
-    metric_list = [tuple(float(x) for x in row) for row in vals]
+    if classes <= 1:  # no foreground classes → empty metric list
+        metric_list = []
+    else:
+        _, full_all = _stacked_metric_programs(classes)
+        vals = np.asarray(
+            full_all(jnp.asarray(pred), jnp.asarray(label), jnp.asarray(sp))
+        )
+        metric_list = [tuple(float(x) for x in row) for row in vals]
 
     if test_save_path is not None and case is not None:
         from ...utils.nifti import write_nifti

@@ -32,6 +32,7 @@ one code path serves everywhere.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1186,9 +1187,10 @@ def _pick_win_group(num_heads: int, d: int, ws: int, wg: int, itemsize: int,
     return None
 
 
-import os
-
-_WIN_ATTN_TPU = os.environ.get("MIA_WINDOWED_ATTN", "0") not in ("0", "", "false")
+def _win_attn_opted_in() -> bool:
+    # read at call time (once per trace) so toggling MIA_WINDOWED_ATTN
+    # after import — the A/B workflow the knob exists for — takes effect
+    return os.environ.get("MIA_WINDOWED_ATTN", "0") not in ("0", "", "false")
 
 
 def windowed_attention_available(num_heads: int, d: int, ws: int,
@@ -1200,7 +1202,7 @@ def windowed_attention_available(num_heads: int, d: int, ws: int,
     its Mosaic lowering is tuned (the first cut lowered correctly but ran
     far below the packed path); interpret mode (tests) always allows it.
     """
-    if not interpret and not _WIN_ATTN_TPU:
+    if not interpret and not _win_attn_opted_in():
         return False
     if ws <= 0 or hg < ws or wg < ws:
         return False

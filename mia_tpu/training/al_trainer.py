@@ -286,7 +286,7 @@ class ALTrainer(BaseTrainer):
         if best is not None:
             self.state = self.state.replace(
                 params=best["params"],
-                batch_stats=best["batch_stats"],
+                batch_stats=best.get("batch_stats", self.state.batch_stats),
             )
             self.logger.info(f"Loaded model checkpoint from {ckpt} (in-memory)")
             return
@@ -366,14 +366,24 @@ class ALTrainer(BaseTrainer):
         if hasattr(self, "_save_futures"):
             self._save_futures = []
 
-    def save_state_dict(self, save_path: str | Path, save_training_state: bool = False):
+    def save_state_dict(
+        self,
+        save_path: str | Path,
+        save_training_state: bool = False,
+        variables: dict | None = None,
+    ):
         save_path = get_path(save_path)
         # snapshot NOW with a device copy — the train step DONATES the state
         # buffers, so bare references could be invalidated before the
-        # writer thread serializes them
-        variables = {"params": jax.tree.map(jnp.copy, self.state.params)}
-        if jax.tree_util.tree_leaves(self.state.batch_stats):
-            variables["batch_stats"] = jax.tree.map(jnp.copy, self.state.batch_stats)
+        # writer thread serializes them. Callers that already hold a safe
+        # device-copied snapshot (the best-weights path) pass it in to skip
+        # the redundant full-state copy.
+        if variables is None:
+            variables = {"params": jax.tree.map(jnp.copy, self.state.params)}
+            if jax.tree_util.tree_leaves(self.state.batch_stats):
+                variables["batch_stats"] = jax.tree.map(
+                    jnp.copy, self.state.batch_stats
+                )
         opt_state = (
             jax.tree.map(jnp.copy, self.state.opt_state)
             if save_training_state
@@ -1190,18 +1200,24 @@ class ALTrainer(BaseTrainer):
             )
             # keep the best weights in memory: round end / next-round
             # selection restore from here instead of re-reading the file
-            # (tunnel D2H + disk round trip)
-            self._best_variables = jax.tree.map(
-                jnp.copy,
-                {
-                    "params": self.state.params,
-                    "batch_stats": self.state.batch_stats,
-                },
+            # (tunnel D2H + disk round trip). ONE device copy serves the
+            # in-memory snapshot and both checkpoint writes (jnp arrays are
+            # immutable and the snapshot is only ever rebound, never
+            # mutated, so the async writer can serialize it directly).
+            snapshot = {"params": jax.tree.map(jnp.copy, self.state.params)}
+            if jax.tree_util.tree_leaves(self.state.batch_stats):
+                snapshot["batch_stats"] = jax.tree.map(
+                    jnp.copy, self.state.batch_stats
+                )
+            self._best_variables = snapshot
+            self.save_state_dict(
+                self.work_path / f"round_{self.current_round}/best_model",
+                variables=snapshot,
             )
-            self.save_state_dict(self.work_path / f"round_{self.current_round}/best_model")
             self.save_state_dict(
                 self.work_path
-                / f"round_{self.current_round}/iter_{self.current_iter}_{self._best_valid_metric:.4f}"
+                / f"round_{self.current_round}/iter_{self.current_iter}_{self._best_valid_metric:.4f}",
+                variables=snapshot,
             )
             self.current_patience = 0
         else:

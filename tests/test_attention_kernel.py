@@ -204,7 +204,7 @@ def test_windowed_attention_gate(rng, monkeypatch):
     from mia_tpu.models.sam.image_encoder import Attention
     from mia_tpu.ops.attention import windowed_attention_available
 
-    monkeypatch.setattr("mia_tpu.ops.attention._WIN_ATTN_TPU", True)
+    monkeypatch.setenv("MIA_WINDOWED_ATTN", "1")
     assert not windowed_attention_available(2, 8, 14, 8, 8, 2, False)
     assert windowed_attention_available(12, 64, 14, 32, 32, 2, False)
 
