@@ -204,6 +204,49 @@ class SamAutomaticMaskGenerator:
         self.stability_score_offset = stability_score_offset
         self.box_nms_thresh = box_nms_thresh
         self.min_mask_region_area = min_mask_region_area
+        self._programs: dict = {}
+
+    def _grid_program(self, input_size, original_size):
+        """One jitted program per (input, original) size pair: N point
+        prompts → prompt-encode → decode → upscale → stability, with the
+        mask THRESHOLDING on device too, so only bool masks + two (N, M)
+        score vectors cross the wire (4× less D2H than f32 logits — the
+        reference fetches float mask logits per batch,
+        ``automatic_mask_generator.py:276-283``)."""
+        import jax
+
+        from .sam import postprocess_masks
+
+        key = (tuple(input_size), tuple(original_size))
+        if key not in self._programs:
+            model = self.predictor.model
+            thr = model.mask_threshold
+            off = self.stability_score_offset
+
+            def run(variables, features, coords, labels):
+                def apply_fn(mdl):
+                    sparse, dense = mdl.prompt_encoder(
+                        points=(coords, labels), boxes=None, masks=None
+                    )
+                    return mdl.mask_decoder(
+                        features,
+                        mdl.prompt_encoder.get_dense_pe(),
+                        sparse,
+                        dense,
+                        True,
+                    )
+
+                low_res, iou = model.apply(variables, method=apply_fn)
+                masks = postprocess_masks(
+                    low_res, model.img_size, input_size, original_size
+                )  # (N, H, W, M) logits, channel-last
+                inter = jnp.sum(masks > (thr + off), axis=(1, 2))
+                union = jnp.sum(masks > (thr - off), axis=(1, 2))
+                stability = inter / jnp.maximum(union, 1)  # (N, M)
+                return masks > thr, iou, stability
+
+            self._programs[key] = jax.jit(run)
+        return self._programs[key]
 
     def generate(self, image: np.ndarray) -> list[dict]:
         self.predictor.set_image(image)
@@ -211,31 +254,40 @@ class SamAutomaticMaskGenerator:
         points = self.point_grids * np.array([w, h])
 
         data = MaskData(masks=np.zeros((0, h, w), bool), iou_preds=np.zeros(0))
+        pred = self.predictor
+        program = self._grid_program(pred.input_size, pred.original_size)
+        slots = max(pred.max_points, 1)
         for (batch_points,) in batch_iterator(self.points_per_batch, points):
-            for point in batch_points:
-                masks, iou_preds, low_res = self.predictor.predict(
-                    point_coords=point[None],
-                    point_labels=np.array([1]),
-                    multimask_output=True,
-                    return_logits=True,
+            # all chunk's points in ONE device program; the short final
+            # chunk is padded (repeat last point) so every chunk reuses the
+            # same compiled shape
+            n = len(batch_points)
+            pts = np.asarray(batch_points, np.float32)
+            if n < self.points_per_batch:
+                pts = np.concatenate(
+                    [pts, np.repeat(pts[-1:], self.points_per_batch - n, 0)]
                 )
-                stability = np.asarray(
-                    calculate_stability_score(
-                        jnp.asarray(masks),
-                        self.predictor.model.mask_threshold,
-                        self.stability_score_offset,
-                    )
+            coords = np.zeros((len(pts), slots, 2), np.float32)
+            labels = -np.ones((len(pts), slots), np.int32)
+            coords[:, 0] = pred.transform.apply_coords(pts, pred.original_size)
+            labels[:, 0] = 1
+            masks_b, iou_b, stab_b = program(
+                pred.variables,
+                pred.features,
+                jnp.asarray(coords),
+                jnp.asarray(labels),
+            )
+            masks_b = np.moveaxis(np.asarray(masks_b)[:n], -1, 1)  # (n, M, H, W)
+            iou_b = np.asarray(iou_b)[:n]
+            stab_b = np.asarray(stab_b)[:n]
+            keep = (iou_b > self.pred_iou_thresh) & (
+                stab_b > self.stability_score_thresh
+            )  # (n, M); boolean indexing flattens row-major = the
+            # point-major order the per-point loop produced
+            if keep.any():
+                data.cat(
+                    MaskData(masks=masks_b[keep], iou_preds=iou_b[keep])
                 )
-                keep = (iou_preds > self.pred_iou_thresh) & (
-                    stability > self.stability_score_thresh
-                )
-                if keep.any():
-                    data.cat(
-                        MaskData(
-                            masks=masks[keep] > self.predictor.model.mask_threshold,
-                            iou_preds=iou_preds[keep],
-                        )
-                    )
 
         if len(data["masks"]) == 0:
             return []

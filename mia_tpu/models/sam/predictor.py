@@ -141,6 +141,54 @@ class SamPredictor:
             np.moveaxis(np.asarray(low_res_masks[0]), -1, 0)
         )
 
+    def predict_batch(
+        self,
+        point_coords: np.ndarray,
+        point_labels: np.ndarray,
+        multimask_output: bool = True,
+        return_logits: bool = False,
+    ):
+        """Batched point prompts against the cached embedding — the
+        reference's ``predict_torch`` surface (``predictor.py:169-254``):
+        ``(N, P, 2)`` coords / ``(N, P)`` labels in original-image
+        coordinates → ``(N, M, H, W)`` masks, ``(N, M)`` iou, ``(N, M, h, w)``
+        low-res, all N prompts in ONE device program. The decoder broadcasts
+        the batch-1 image embedding against the N-batch prompts, so no
+        per-prompt embed copies are made."""
+        if not self.is_image_set:
+            raise RuntimeError("An image must be set with .set_image(...) first")
+        pts = self.transform.apply_coords(
+            np.asarray(point_coords, np.float32), self.original_size
+        )
+        n, p = pts.shape[:2]
+        slots = max(self.max_points, p)
+        coords = np.zeros((n, slots, 2), np.float32)
+        labels = -np.ones((n, slots), np.int32)
+        coords[:, :p] = pts
+        labels[:, :p] = np.asarray(point_labels)
+
+        program = self._decoder_program(False, False, bool(multimask_output))
+        e4 = 4 * (self.model.img_size // 16)
+        low_res_masks, iou_predictions = program(
+            self.variables,
+            self.features,
+            jnp.asarray(coords),
+            jnp.asarray(labels),
+            jnp.zeros((n, 4), jnp.float32),
+            jnp.zeros((n, e4, e4, 1), jnp.float32),
+        )
+        masks = postprocess_masks(
+            low_res_masks, self.model.img_size, self.input_size, self.original_size
+        )
+        masks = np.asarray(masks)
+        if not return_logits:
+            masks = masks > self.model.mask_threshold
+        return (
+            np.moveaxis(masks, -1, 1),
+            np.asarray(iou_predictions),
+            np.moveaxis(np.asarray(low_res_masks), -1, 1),
+        )
+
     def get_image_embedding(self):
         if not self.is_image_set:
             raise RuntimeError("An image must be set with .set_image(...) first")

@@ -76,3 +76,96 @@ def test_sam_predictor_end_to_end(rng):
     # box prompt path
     masks_b, _, _ = predictor.predict(box=np.array([5, 5, 40, 40]))
     assert masks_b.shape == (3, 48, 56)
+
+
+def test_amg_batched_matches_per_point(rng):
+    """The batched grid program must reproduce the per-point predictor
+    loop exactly: same kept masks (point-major order) and iou scores."""
+    from mia_tpu.models.sam import SamAutomaticMaskGenerator
+
+    model = Sam(
+        img_size=64,
+        num_classes=3,
+        encoder_embed_dim=32,
+        encoder_depth=2,
+        encoder_num_heads=2,
+        encoder_global_attn_indexes=(1,),
+    )
+    x = jnp.ones((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, True, 64)
+    predictor = SamPredictor(model, variables, max_points=4)
+    image = (rng.random((48, 56, 3)) * 255).astype(np.uint8)
+
+    # thresholds low enough that an untrained model keeps some masks;
+    # points_per_batch=3 over a 2x2 grid exercises the padded final chunk
+    amg = SamAutomaticMaskGenerator(
+        predictor,
+        points_per_side=2,
+        points_per_batch=3,
+        pred_iou_thresh=-1e9,
+        stability_score_thresh=-1.0,
+        box_nms_thresh=1.01,  # keep everything: order must match the loop
+        min_mask_region_area=0,
+    )
+    records = amg.generate(image)
+    assert len(records) == 4 * 3  # every (point, mask) pair survives
+
+    # reference computation: the old per-point loop, inlined
+    predictor.set_image(image)
+    h, w = image.shape[:2]
+    points = amg.point_grids * np.array([w, h])
+    exp_masks, exp_iou = [], []
+    for point in points:
+        masks, iou, _ = predictor.predict(
+            point_coords=point[None],
+            point_labels=np.array([1]),
+            multimask_output=True,
+            return_logits=True,
+        )
+        exp_masks.append(masks > model.mask_threshold)
+        exp_iou.append(iou)
+    exp_masks = np.concatenate(exp_masks)
+    exp_iou = np.concatenate(exp_iou)
+    # box NMS emits survivors in score order even when none are suppressed
+    order = np.argsort(-exp_iou, kind="stable")
+    exp_masks, exp_iou = exp_masks[order], exp_iou[order]
+
+    got_masks = np.stack([r["segmentation"] for r in records])
+    got_iou = np.array([r["predicted_iou"] for r in records])
+    np.testing.assert_array_equal(got_masks, exp_masks)
+    np.testing.assert_allclose(got_iou, exp_iou, rtol=1e-5, atol=1e-6)
+    for r in records:
+        np.testing.assert_array_equal(rle_to_mask(r["rle"]), r["segmentation"])
+
+
+def test_predict_batch_matches_sequential(rng):
+    model = Sam(
+        img_size=64,
+        num_classes=3,
+        encoder_embed_dim=32,
+        encoder_depth=2,
+        encoder_num_heads=2,
+        encoder_global_attn_indexes=(1,),
+    )
+    x = jnp.ones((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, True, 64)
+    predictor = SamPredictor(model, variables, max_points=4)
+    image = (rng.random((48, 56, 3)) * 255).astype(np.uint8)
+    predictor.set_image(image)
+
+    coords = np.array([[[10.0, 12.0]], [[30.0, 20.0]], [[44.0, 40.0]]])
+    labels = np.ones((3, 1), np.int32)
+    masks_b, iou_b, low_b = predictor.predict_batch(
+        coords, labels, multimask_output=True, return_logits=True
+    )
+    assert masks_b.shape == (3, 3, 48, 56)
+    for i in range(3):
+        m, iou, low = predictor.predict(
+            point_coords=coords[i],
+            point_labels=labels[i],
+            multimask_output=True,
+            return_logits=True,
+        )
+        np.testing.assert_allclose(masks_b[i], m, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(iou_b[i], iou, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(low_b[i], low, rtol=1e-4, atol=1e-5)
