@@ -123,13 +123,14 @@ def batched_mask_to_box(masks: np.ndarray) -> np.ndarray:
     shape = masks.shape
     h, w = shape[-2:]
     flat = masks.reshape(-1, h, w)
-    boxes = np.zeros((flat.shape[0], 4), np.int64)
-    for i, m in enumerate(flat):
-        if not m.any():
-            continue
-        rows = np.flatnonzero(m.any(axis=1))
-        cols = np.flatnonzero(m.any(axis=0))
-        boxes[i] = [cols[0], rows[0], cols[-1], rows[-1]]
+    rows = flat.any(axis=2)  # (N, H)
+    cols = flat.any(axis=1)  # (N, W)
+    top = rows.argmax(axis=1)
+    bottom = h - 1 - rows[:, ::-1].argmax(axis=1)
+    left = cols.argmax(axis=1)
+    right = w - 1 - cols[:, ::-1].argmax(axis=1)
+    boxes = np.stack([left, top, right, bottom], axis=1).astype(np.int64)
+    boxes[~rows.any(axis=1)] = 0  # empty masks → zero box
     return boxes.reshape(*shape[:-2], 4)
 
 
