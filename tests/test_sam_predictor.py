@@ -169,3 +169,86 @@ def test_predict_batch_matches_sequential(rng):
         np.testing.assert_allclose(masks_b[i], m, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(iou_b[i], iou, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(low_b[i], low, rtol=1e-4, atol=1e-5)
+
+
+def test_predictor_parity_vs_torch(rng):
+    """Numeric parity of the full predictor serving path — embed →
+    point-prompt encode → decode → postprocess — against a PyTorch
+    restatement of the reference flow (``predictor.py:92-168``) from
+    IDENTICAL weights."""
+    import torch
+    import torch.nn.functional as F
+
+    from torch_sam_ref import (
+        JaxParams,
+        dense_pe,
+        image_encoder,
+        mask_decoder,
+        prompt_encoder_plain,
+    )
+    from mia_tpu.models.sam.sam import PIXEL_MEAN, PIXEL_STD
+
+    model = Sam(
+        img_size=64,
+        num_classes=3,
+        encoder_embed_dim=32,
+        encoder_depth=2,
+        encoder_num_heads=2,
+        encoder_global_attn_indexes=(1,),
+    )
+    x0 = jnp.ones((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, True, 64)
+    predictor = SamPredictor(model, variables, max_points=4)
+    image = (rng.random((48, 56, 3)) * 255).astype(np.uint8)
+    predictor.set_image(image)
+    point = np.array([[30.0, 22.0]])
+    label = np.array([1])
+    masks, iou, low_res = predictor.predict(
+        point_coords=point, point_labels=label,
+        multimask_output=True, return_logits=True,
+    )
+
+    # --- torch restatement from the same params -------------------------
+    p = JaxParams(variables["params"])
+    with torch.no_grad():
+        resized = predictor.transform.apply_image(image)  # same host resize
+        xt = torch.tensor(np.asarray(resized, np.float32))[None]
+        xt = (xt - torch.tensor(PIXEL_MEAN)) / torch.tensor(PIXEL_STD)
+        h_in, w_in = resized.shape[:2]
+        xt = F.pad(xt, (0, 0, 0, 64 - w_in, 0, 64 - h_in))
+        emb = image_encoder(
+            p, xt, depth=2, num_heads=2, window_size=14,
+            global_attn_indexes=(1,), lora_rank=0,
+        )
+        # predictor pads point slots to max_points with label -1
+        coords = np.zeros((1, 4, 2), np.float32)
+        labels_np = -np.ones((1, 4), np.int32)
+        coords[0, :1] = predictor.transform.apply_coords(point, image.shape[:2])
+        labels_np[0, :1] = label
+        sparse, dense = prompt_encoder_plain(
+            p,
+            points=(torch.tensor(coords), torch.tensor(labels_np)),
+            embed_dim=256,
+            image_embedding_size=(4, 4),
+            input_image_size=(64, 64),
+        )
+        lowres_t, iou_t, _ = mask_decoder(
+            p, "mask_decoder/core", "mask_decoder/transformer",
+            emb, dense_pe(p, (4, 4)), sparse, dense,
+            num_mask_tokens=4, stages=2,
+        )
+        lowres_t = lowres_t[..., 1:]  # multimask drops token 0
+        iou_t = iou_t[:, 1:]
+        up = F.interpolate(
+            lowres_t.permute(0, 3, 1, 2), (64, 64),
+            mode="bilinear", align_corners=False,
+        )[:, :, :h_in, :w_in]
+        masks_t = F.interpolate(
+            up, tuple(image.shape[:2]), mode="bilinear", align_corners=False
+        )
+
+    np.testing.assert_allclose(
+        low_res, lowres_t.permute(0, 3, 1, 2)[0].numpy(), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(iou, iou_t[0].numpy(), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(masks, masks_t[0].numpy(), rtol=2e-3, atol=5e-4)

@@ -365,8 +365,56 @@ def _mlp(p, prefix, x, num_layers, relu_last=False):
     return x
 
 
+def prompt_encoder_plain(p, *, points=None, boxes=None,
+                         embed_dim, image_embedding_size, input_image_size):
+    """Plain (non-class) SAM prompt encoder (``prompt_encoder.py:16-170``):
+    positive/negative point embeddings 0/1, box corners 2/3."""
+    if points is not None:
+        bs = points[0].shape[0]
+    elif boxes is not None:
+        bs = boxes.shape[0]
+    else:
+        bs = 1
+    sparse = torch.zeros(bs, 0, embed_dim)
+    if points is not None:
+        coords, labels = points
+        pts = coords + 0.5
+        if boxes is None:
+            pts = torch.cat([pts, torch.zeros(pts.shape[0], 1, 2)], 1)
+            labels = torch.cat(
+                [labels, -torch.ones(labels.shape[0], 1, dtype=labels.dtype)], 1
+            )
+        c = pts.clone()
+        c[..., 0] = c[..., 0] / input_image_size[1]
+        c[..., 1] = c[..., 1] / input_image_size[0]
+        pe = _pe_encoding(p, c)
+        emb = p["prompt_encoder/point_embeddings"]
+        invalid = (labels == -1)[..., None]
+        pe = torch.where(invalid, p["prompt_encoder/not_a_point_embed"][0], pe)
+        pe = pe + torch.where((labels == 0)[..., None], emb[0], torch.zeros(()))
+        pe = pe + torch.where((labels == 1)[..., None], emb[1], torch.zeros(()))
+        sparse = torch.cat([sparse, pe], 1)
+    if boxes is not None:
+        b = boxes + 0.5
+        c = b.reshape(-1, 2, 2).clone()
+        c[..., 0] = c[..., 0] / input_image_size[1]
+        c[..., 1] = c[..., 1] / input_image_size[0]
+        pe = _pe_encoding(p, c)
+        emb = p["prompt_encoder/point_embeddings"]
+        pe = pe.clone()
+        pe[:, 0] = pe[:, 0] + emb[2]
+        pe[:, 1] = pe[:, 1] + emb[3]
+        sparse = torch.cat([sparse, pe.reshape(bs, -1, embed_dim)], 1)
+    h, w = image_embedding_size
+    dense_emb = (
+        p["prompt_encoder/no_mask_embed"].reshape(1, 1, 1, -1)
+        .expand(bs, h, w, embed_dim)
+    )
+    return sparse, dense_emb
+
+
 def mask_decoder(p, prefix, tf_prefix, image_embeddings, image_pe, sparse,
-                 dense_emb, *, num_mask_tokens):
+                 dense_emb, *, num_mask_tokens, stages=4):
     bs = sparse.shape[0]
     output_tokens = torch.cat(
         [p[f"{prefix}/iou_token"], p[f"{prefix}/mask_tokens"]], 0
@@ -382,9 +430,9 @@ def mask_decoder(p, prefix, tf_prefix, image_embeddings, image_pe, sparse,
     mask_tokens_out = hs[:, 1 : 1 + num_mask_tokens]
     src = src.reshape(b, h, w, c).permute(0, 3, 1, 2)
     x = src
-    for i, norm in ((0, True), (1, True), (2, True), (3, False)):
+    for i in range(stages):  # LayerNorm on every stage but the last
         x = conv_transpose2d(p, f"{prefix}/output_upscaling/up{i}", x)
-        if norm:
+        if i < stages - 1:
             x = layer_norm_2d(p, f"{prefix}/output_upscaling/norm{i}", x)
         x = F.gelu(x)
     upscaled = x.permute(0, 2, 3, 1)  # (B, h', w', C')
