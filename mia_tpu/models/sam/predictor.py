@@ -17,11 +17,25 @@ from .transforms import ResizeLongestSide
 
 
 class SamPredictor:
-    def __init__(self, sam_model: Sam, variables, max_points: int = 16):
+    def __init__(
+        self,
+        sam_model: Sam,
+        variables,
+        max_points: int = 16,
+        exact_prompts: bool = False,
+    ):
+        """``exact_prompts=False`` (default) pads point prompts to
+        ``max_points`` slots (label −1) so repeated clicks never recompile —
+        a TPU-friendly deviation: pad tokens still participate in the
+        two-way transformer's softmax, so outputs differ slightly from the
+        reference's exact token count (see PARITY.md). ``True`` sizes the
+        token count exactly like the reference (``predictor.py:129-143``)
+        at the cost of one compile per distinct prompt count."""
         self.model = sam_model
         self.variables = variables
         self.transform = ResizeLongestSide(sam_model.img_size)
         self.max_points = max_points
+        self.exact_prompts = exact_prompts
         # jitted programs: one encoder embed (recompiles per input size —
         # the longest side is fixed, so at most a handful), and one
         # prompt→mask program per (has_box, has_mask, multimask) combo
@@ -33,15 +47,18 @@ class SamPredictor:
         self._decoder_programs: dict = {}
         self.reset_image()
 
-    def _decoder_program(self, has_box: bool, has_mask: bool, multimask: bool):
-        key = (has_box, has_mask, multimask)
+    def _decoder_program(
+        self, has_box: bool, has_mask: bool, multimask: bool,
+        has_points: bool = True,
+    ):
+        key = (has_box, has_mask, multimask, has_points)
         if key not in self._decoder_programs:
             model = self.model
 
             def run(variables, features, coords, labels, boxes, masks_in):
                 def apply_fn(mdl):
                     sparse, dense = mdl.prompt_encoder(
-                        points=(coords, labels),
+                        points=(coords, labels) if has_points else None,
                         boxes=boxes if has_box else None,
                         masks=masks_in if has_mask else None,
                     )
@@ -87,19 +104,21 @@ class SamPredictor:
         return_logits: bool = False,
     ):
         """Prompts in original-image coordinates → (masks, iou, low-res)
-        (``predictor.py:92-168``). Points padded to ``max_points`` slots
-        (label −1 = inactive) so prompt counts never retrigger compilation.
+        (``predictor.py:92-168``). Unless ``exact_prompts``, points are
+        padded to ``max_points`` slots (label −1 = inactive) so prompt
+        counts never retrigger compilation.
         """
         if not self.is_image_set:
             raise RuntimeError("An image must be set with .set_image(...) first")
 
-        coords = np.zeros((1, self.max_points, 2), np.float32)
-        labels = -np.ones((1, self.max_points), np.int32)
+        n_pts = len(point_coords) if point_coords is not None else 0
+        slots = n_pts if self.exact_prompts else max(self.max_points, n_pts)
+        coords = np.zeros((1, max(slots, 1), 2), np.float32)
+        labels = -np.ones((1, max(slots, 1)), np.int32)
         if point_coords is not None:
             pts = self.transform.apply_coords(point_coords, self.original_size)
-            n = min(len(pts), self.max_points)
-            coords[0, :n] = pts[:n]
-            labels[0, :n] = np.asarray(point_labels)[:n]
+            coords[0, :n_pts] = pts
+            labels[0, :n_pts] = np.asarray(point_labels)
 
         boxes = None
         if box is not None:
@@ -116,7 +135,10 @@ class SamPredictor:
             masks_in = jnp.asarray(m)
 
         program = self._decoder_program(
-            boxes is not None, masks_in is not None, bool(multimask_output)
+            boxes is not None,
+            masks_in is not None,
+            bool(multimask_output),
+            has_points=not (self.exact_prompts and n_pts == 0),
         )
         e4 = 4 * (self.model.img_size // 16)
         low_res_masks, iou_predictions = program(
@@ -143,39 +165,68 @@ class SamPredictor:
 
     def predict_batch(
         self,
-        point_coords: np.ndarray,
-        point_labels: np.ndarray,
+        point_coords: np.ndarray | None = None,
+        point_labels: np.ndarray | None = None,
+        boxes: np.ndarray | None = None,
+        mask_input: np.ndarray | None = None,
         multimask_output: bool = True,
         return_logits: bool = False,
     ):
-        """Batched point prompts against the cached embedding — the
-        reference's ``predict_torch`` surface (``predictor.py:169-254``):
-        ``(N, P, 2)`` coords / ``(N, P)`` labels in original-image
-        coordinates → ``(N, M, H, W)`` masks, ``(N, M)`` iou, ``(N, M, h, w)``
-        low-res, all N prompts in ONE device program. The decoder broadcasts
-        the batch-1 image embedding against the N-batch prompts, so no
-        per-prompt embed copies are made."""
+        """Batched prompts against the cached embedding — the reference's
+        ``predict_torch`` surface (``predictor.py:169-254``): ``(N, P, 2)``
+        coords / ``(N, P)`` labels, ``(N, 4)`` boxes and ``(N, h, w, 1)``
+        mask inputs in original-image coordinates → ``(N, M, H, W)`` masks,
+        ``(N, M)`` iou, ``(N, M, h, w)`` low-res, all N prompts in ONE
+        device program. The decoder broadcasts the batch-1 image embedding
+        against the N-batch prompts, so no per-prompt embed copies are
+        made."""
         if not self.is_image_set:
             raise RuntimeError("An image must be set with .set_image(...) first")
-        pts = self.transform.apply_coords(
-            np.asarray(point_coords, np.float32), self.original_size
-        )
-        n, p = pts.shape[:2]
-        slots = max(self.max_points, p)
-        coords = np.zeros((n, slots, 2), np.float32)
-        labels = -np.ones((n, slots), np.int32)
-        coords[:, :p] = pts
-        labels[:, :p] = np.asarray(point_labels)
+        if point_coords is not None:
+            pts = self.transform.apply_coords(
+                np.asarray(point_coords, np.float32), self.original_size
+            )
+            n, p = pts.shape[:2]
+        else:
+            pts = None
+            n = len(boxes) if boxes is not None else len(mask_input)
+            p = 0
+        slots = p if self.exact_prompts else max(self.max_points, p)
+        coords = np.zeros((n, max(slots, 1), 2), np.float32)
+        labels = -np.ones((n, max(slots, 1)), np.int32)
+        if pts is not None:
+            coords[:, :p] = pts
+            labels[:, :p] = np.asarray(point_labels)
 
-        program = self._decoder_program(False, False, bool(multimask_output))
+        boxes_j = None
+        if boxes is not None:
+            boxes_j = jnp.asarray(
+                self.transform.apply_boxes(np.asarray(boxes), self.original_size),
+                jnp.float32,
+            )
+        masks_j = None
+        if mask_input is not None:
+            m = np.asarray(mask_input, np.float32)
+            if m.ndim == 3:
+                m = m[..., None]
+            masks_j = jnp.asarray(m)
+
+        program = self._decoder_program(
+            boxes_j is not None,
+            masks_j is not None,
+            bool(multimask_output),
+            has_points=not (self.exact_prompts and p == 0),
+        )
         e4 = 4 * (self.model.img_size // 16)
         low_res_masks, iou_predictions = program(
             self.variables,
             self.features,
             jnp.asarray(coords),
             jnp.asarray(labels),
-            jnp.zeros((n, 4), jnp.float32),
-            jnp.zeros((n, e4, e4, 1), jnp.float32),
+            boxes_j if boxes_j is not None else jnp.zeros((n, 4), jnp.float32),
+            masks_j
+            if masks_j is not None
+            else jnp.zeros((n, e4, e4, 1), jnp.float32),
         )
         masks = postprocess_masks(
             low_res_masks, self.model.img_size, self.input_size, self.original_size

@@ -252,3 +252,107 @@ def test_predictor_parity_vs_torch(rng):
     )
     np.testing.assert_allclose(iou, iou_t[0].numpy(), rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(masks, masks_t[0].numpy(), rtol=2e-3, atol=5e-4)
+
+
+def test_predictor_exact_prompts_matches_reference_token_count(rng):
+    """exact_prompts=True sizes the prompt tokens exactly like the
+    reference (n points + 1 pad): parity vs the torch restatement with NO
+    extra padded slots, and a check that the fixed-slot default deviates
+    only slightly."""
+    import torch
+    import torch.nn.functional as F
+
+    from torch_sam_ref import (
+        JaxParams,
+        dense_pe,
+        image_encoder,
+        mask_decoder,
+        prompt_encoder_plain,
+    )
+    from mia_tpu.models.sam.sam import PIXEL_MEAN, PIXEL_STD
+
+    model = Sam(
+        img_size=64,
+        num_classes=3,
+        encoder_embed_dim=32,
+        encoder_depth=2,
+        encoder_num_heads=2,
+        encoder_global_attn_indexes=(1,),
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 64, 64, 3), jnp.float32), True, 64
+    )
+    image = (rng.random((48, 56, 3)) * 255).astype(np.uint8)
+    point = np.array([[30.0, 22.0]])
+    label = np.array([1])
+
+    exact = SamPredictor(model, variables, max_points=4, exact_prompts=True)
+    exact.set_image(image)
+    _, _, low_exact = exact.predict(
+        point_coords=point, point_labels=label, return_logits=True
+    )
+
+    p = JaxParams(variables["params"])
+    with torch.no_grad():
+        resized = exact.transform.apply_image(image)
+        xt = torch.tensor(np.asarray(resized, np.float32))[None]
+        xt = (xt - torch.tensor(PIXEL_MEAN)) / torch.tensor(PIXEL_STD)
+        h_in, w_in = resized.shape[:2]
+        xt = F.pad(xt, (0, 0, 0, 64 - w_in, 0, 64 - h_in))
+        emb = image_encoder(
+            p, xt, depth=2, num_heads=2, window_size=14,
+            global_attn_indexes=(1,), lora_rank=0,
+        )
+        coords_t = torch.tensor(
+            exact.transform.apply_coords(point, image.shape[:2])[None]
+        ).float()
+        sparse, dense = prompt_encoder_plain(
+            p, points=(coords_t, torch.tensor(label[None])),
+            embed_dim=256, image_embedding_size=(4, 4),
+            input_image_size=(64, 64),
+        )
+        assert sparse.shape[1] == 2  # 1 real point + 1 pad — reference-exact
+        lowres_t, _, _ = mask_decoder(
+            p, "mask_decoder/core", "mask_decoder/transformer",
+            emb, dense_pe(p, (4, 4)), sparse, dense,
+            num_mask_tokens=4, stages=2,
+        )
+        lowres_t = lowres_t[..., 1:]
+
+    np.testing.assert_allclose(
+        low_exact, lowres_t.permute(0, 3, 1, 2)[0].numpy(), rtol=2e-3, atol=2e-4
+    )
+
+    # the fixed-slot default is a DOCUMENTED deviation: close, not equal
+    padded = SamPredictor(model, variables, max_points=4)
+    padded.set_image(image)
+    _, _, low_padded = padded.predict(
+        point_coords=point, point_labels=label, return_logits=True
+    )
+    assert np.abs(low_padded - low_exact).max() > 0  # really different paths
+    assert np.abs(low_padded - low_exact).max() < 0.5  # but benign
+
+
+def test_predict_batch_boxes(rng):
+    model = Sam(
+        img_size=64,
+        num_classes=3,
+        encoder_embed_dim=32,
+        encoder_depth=2,
+        encoder_num_heads=2,
+        encoder_global_attn_indexes=(1,),
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 64, 64, 3), jnp.float32), True, 64
+    )
+    predictor = SamPredictor(model, variables, max_points=4)
+    image = (rng.random((48, 56, 3)) * 255).astype(np.uint8)
+    predictor.set_image(image)
+    boxes = np.array([[4.0, 4.0, 30.0, 28.0], [10.0, 8.0, 50.0, 40.0]])
+    masks_b, iou_b, _ = predictor.predict_batch(boxes=boxes)
+    assert masks_b.shape == (2, 3, 48, 56)
+    # per-box sequential equality
+    for i in range(2):
+        m, iou, _ = predictor.predict(box=boxes[i])
+        np.testing.assert_array_equal(masks_b[i], m)
+        np.testing.assert_allclose(iou_b[i], iou, rtol=1e-5, atol=1e-6)
