@@ -78,9 +78,10 @@ def _volume_resize_programs(in_hw, patch_hw):
     return to_patch, back_to_native, labels_to_patch
 
 
-def _forward_volume(apply_fn, image_dhwc, patch_size):
+def _forward_volume(apply_fn, image_dhwc, patch_size, fetch=True):
     """Resize slices (on device), run the model once, ensemble decoder
-    softmaxes, nearest-resize the argmax back (on device)."""
+    softmaxes, nearest-resize the argmax back (on device). ``fetch=False``
+    keeps the prediction on device (deferred-sync eval paths)."""
     d, h, w, c = image_dhwc.shape
     to_patch, back_to_native, _ = _volume_resize_programs(
         (h, w), (int(patch_size[0]), int(patch_size[1]))
@@ -96,7 +97,7 @@ def _forward_volume(apply_fn, image_dhwc, patch_size):
     pred = jnp.argmax(ensemble, axis=-1).astype(jnp.int32)
     if pred.shape[1:] != (h, w):
         pred = back_to_native(pred)
-    return np.asarray(pred), outputs
+    return (np.asarray(pred) if fetch else pred), outputs
 
 
 def test_single_volume(
@@ -106,17 +107,21 @@ def test_single_volume(
     classes: int,
     patch_size=(512, 512),
     loss_fn=None,
+    defer=False,
 ):
     """image (1, D, H, W, C) or (D, H, W, C); label (…, D, H, W).
 
     Returns ([per-class (dice, hd95)], loss). (``validation.py:29-79``.)
+    ``defer=True`` returns the ((C−1, 2) metrics, scalar loss) as DEVICE
+    arrays with no host sync — callers fetch a whole epoch in one
+    ``device_get`` so per-case dispatch runs ahead of the tunnel.
     """
     image = np.asarray(image, np.float32)
     label = np.asarray(label, np.int32)
     if image.ndim == 5:
         image, label = image[0], label[0]
 
-    pred, outputs = _forward_volume(apply_fn, image, patch_size)
+    pred, outputs = _forward_volume(apply_fn, image, patch_size, fetch=not defer)
 
     loss = None
     if loss_fn is not None and isinstance(outputs, dict):
@@ -124,23 +129,28 @@ def test_single_volume(
             label.shape[-2:], (int(patch_size[0]), int(patch_size[1]))
         )
         resized_label = labels_to_patch(jnp.asarray(label))
-        losses = [
-            float(loss_fn(m, jnp.asarray(resized_label))[0])
+        terms = [
+            loss_fn(m, resized_label)[0]
             for m in outputs["low_res_logits"]
             if m is not None and m.shape[1:3] == tuple(patch_size)
         ]
-        if not losses:
-            losses = [
-                float(loss_fn(m, jnp.asarray(resized_label))[0])
+        if not terms:
+            terms = [
+                loss_fn(m, resized_label)[0]
                 for m in outputs["masks"]
                 if m is not None
             ]
-        loss = float(np.mean(losses)) if losses else None
+        if terms:
+            loss_dev = jnp.mean(jnp.stack([jnp.asarray(t) for t in terms]))
+            loss = loss_dev if defer else float(loss_dev)
 
     if classes <= 1:  # no foreground classes → empty metric list
-        return [], loss
+        return (jnp.zeros((0, 2), jnp.float32) if defer else []), loss
     hd95_all, _ = _stacked_metric_programs(classes)
-    vals = np.asarray(hd95_all(jnp.asarray(pred), jnp.asarray(label)))
+    vals = hd95_all(jnp.asarray(pred), jnp.asarray(label))
+    if defer:
+        return vals, loss
+    vals = np.asarray(vals)
     metric_list = [(float(d), float(h)) for d, h in vals]
     return metric_list, loss
 

@@ -872,19 +872,25 @@ class CPCSAMTrainer(BaseTrainer):
             self.epoch_train_outputs.append({"loss": losses})
 
     def valid_step(self, sampled_batch):
-        metric_list, loss = test_single_volume(
+        # defer=True: metrics/loss stay ON device — per-case dispatch runs
+        # ahead of the tunnel; on_valid_epoch_end fetches the whole epoch
+        # in one device_get (same pattern as the AL trainer's valid path)
+        metric_dev, loss_dev = test_single_volume(
             sampled_batch["image"],
             sampled_batch["label"],
             self._eval_apply(self.params),
             classes=self.config.num_classes + 1,
             patch_size=(self.config.image_size, self.config.image_size),
             loss_fn=self.supervised_loss,
+            defer=True,
         )
-        self.epoch_valid_outputs.append({"metric": np.asarray(metric_list), "loss": loss})
+        self.epoch_valid_outputs.append({"metric": metric_dev, "loss": loss_dev})
 
     def on_valid_epoch_end(self):
         import warnings
 
+        # ONE fetch for the whole deferred epoch
+        self.epoch_valid_outputs = jax.device_get(self.epoch_valid_outputs)
         with warnings.catch_warnings():
             warnings.simplefilter("ignore", RuntimeWarning)
             per_cls = np.nanmean(
