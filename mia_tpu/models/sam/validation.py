@@ -78,6 +78,22 @@ def _volume_resize_programs(in_hw, patch_hw):
     return to_patch, back_to_native, labels_to_patch
 
 
+def _depth_bucket(d: int) -> int:
+    """Round the slice count up to a bucket so the heavy jitted model
+    forward compiles once per BUCKET, not once per distinct volume depth
+    (zero-pad slices are batch-independent and sliced back off — exact).
+    ``MIA_EVAL_DEPTH_BUCKET`` (default 4) sets the step; 0 disables."""
+    import os
+
+    try:
+        step = int(os.environ.get("MIA_EVAL_DEPTH_BUCKET", "4") or 0)
+    except ValueError:
+        step = 4
+    if step <= 0:
+        return d
+    return -(-d // step) * step
+
+
 def _forward_volume(apply_fn, image_dhwc, patch_size, fetch=True):
     """Resize slices (on device), run the model once, ensemble decoder
     softmaxes, nearest-resize the argmax back (on device). ``fetch=False``
@@ -87,7 +103,15 @@ def _forward_volume(apply_fn, image_dhwc, patch_size, fetch=True):
         (h, w), (int(patch_size[0]), int(patch_size[1]))
     )
     resized = to_patch(jnp.asarray(image_dhwc, jnp.float32))
+    d_pad = _depth_bucket(d)
+    if d_pad != d:
+        resized = jnp.concatenate(
+            [resized, jnp.zeros((d_pad - d,) + resized.shape[1:], resized.dtype)],
+            axis=0,
+        )
     outputs = apply_fn(resized)
+    if d_pad != d:  # strip pad slices from every (D, ...) output
+        outputs = jax.tree.map(lambda a: a[:d], outputs)
     masks = outputs["masks"] if isinstance(outputs, dict) else outputs
     ensemble = 0.0
     for m in masks:

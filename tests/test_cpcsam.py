@@ -259,3 +259,44 @@ def test_wandb_alerts_on_improvement_and_stagnation():
         {"metric": np.array([[0.95, 2.0], [0.9, 2.5]]), "loss": 0.05}
     ]
     trainer.on_valid_epoch_end()
+
+
+def test_eval_depth_bucketing_exact(rng, monkeypatch):
+    """Depth bucketing pads slices into the heavy model program and slices
+    them back off — results must be identical to the unbucketed path."""
+    import jax
+    import jax.numpy as jnp
+
+    from mia_tpu.models.sam import Sam
+    from mia_tpu.models.sam.validation import test_single_volume
+
+    model = Sam(
+        img_size=32,
+        num_classes=3,
+        encoder_embed_dim=32,
+        encoder_depth=1,
+        encoder_num_heads=2,
+        encoder_global_attn_indexes=(0,),
+    )
+    v = model.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 3), jnp.float32), True, 32
+    )
+
+    shapes = []
+
+    def apply_fn(x):
+        shapes.append(x.shape[0])
+        return model.apply(v, x, True, 32)
+
+    img = rng.random((5, 32, 32, 3)).astype(np.float32)  # D=5 → pads to 8
+    lbl = rng.integers(0, 4, (5, 32, 32)).astype(np.int32)
+
+    monkeypatch.setenv("MIA_EVAL_DEPTH_BUCKET", "8")
+    m_bucket, _ = test_single_volume(img, lbl, apply_fn, classes=4, patch_size=(32, 32))
+    monkeypatch.setenv("MIA_EVAL_DEPTH_BUCKET", "0")
+    m_exact, _ = test_single_volume(img, lbl, apply_fn, classes=4, patch_size=(32, 32))
+    assert shapes == [8, 5]  # bucketed then exact
+    np.testing.assert_allclose(
+        np.asarray(m_bucket, np.float32), np.asarray(m_exact, np.float32),
+        rtol=1e-6, atol=1e-6,
+    )
