@@ -232,7 +232,13 @@ class BatchLoader:
                 if key in batch:
                     arr = batch[key]
                     if self.sharding is not None:
-                        batch[key] = jax.device_put(arr, self.sharding)
+                        try:
+                            batch[key] = jax.device_put(arr, self.sharding)
+                        except ValueError:
+                            # partial final batch (drop_last=False) whose
+                            # leading axis the mesh can't divide: default
+                            # placement — the consuming jit reshards it
+                            batch[key] = jax.device_put(arr)
                     else:
                         batch[key] = jax.device_put(arr)
         return batch

@@ -257,7 +257,9 @@ class SamAutomaticMaskGenerator:
         data = MaskData(masks=np.zeros((0, h, w), bool), iou_preds=np.zeros(0))
         pred = self.predictor
         program = self._grid_program(pred.input_size, pred.original_size)
-        slots = max(pred.max_points, 1)
+        # one real point per prompt: exact_prompts predictors size tokens
+        # like the reference; the default pads to max_points slots
+        slots = 1 if getattr(pred, "exact_prompts", False) else max(pred.max_points, 1)
         for (batch_points,) in batch_iterator(self.points_per_batch, points):
             # all chunk's points in ONE device program; the short final
             # chunk is padded (repeat last point) so every chunk reuses the

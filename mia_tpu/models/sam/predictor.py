@@ -106,62 +106,36 @@ class SamPredictor:
         """Prompts in original-image coordinates → (masks, iou, low-res)
         (``predictor.py:92-168``). Unless ``exact_prompts``, points are
         padded to ``max_points`` slots (label −1 = inactive) so prompt
-        counts never retrigger compilation.
+        counts never retrigger compilation. Thin batch-of-one wrapper over
+        :meth:`predict_batch`.
         """
-        if not self.is_image_set:
-            raise RuntimeError("An image must be set with .set_image(...) first")
-
-        n_pts = len(point_coords) if point_coords is not None else 0
-        slots = n_pts if self.exact_prompts else max(self.max_points, n_pts)
-        coords = np.zeros((1, max(slots, 1), 2), np.float32)
-        labels = -np.ones((1, max(slots, 1)), np.int32)
-        if point_coords is not None:
-            pts = self.transform.apply_coords(point_coords, self.original_size)
-            coords[0, :n_pts] = pts
-            labels[0, :n_pts] = np.asarray(point_labels)
-
-        boxes = None
-        if box is not None:
-            boxes = jnp.asarray(
-                self.transform.apply_boxes(np.asarray(box), self.original_size),
-                jnp.float32,
-            )
-        masks_in = None
         if mask_input is not None:
             m = np.asarray(mask_input, np.float32)
-            if m.ndim == 3:
-                m = m[..., None] if m.shape[-1] != 1 else m
-                m = m[None] if m.ndim == 3 else m
-            masks_in = jnp.asarray(m)
-
-        program = self._decoder_program(
-            boxes is not None,
-            masks_in is not None,
-            bool(multimask_output),
-            has_points=not (self.exact_prompts and n_pts == 0),
+            if m.ndim == 2:
+                m = m[None, ..., None]
+            elif m.ndim == 3:
+                # (h, w, 1) or (1, h, w) → (1, h, w, 1)
+                m = m[None] if m.shape[-1] == 1 else m[..., None]
+            mask_input = m
+        masks, iou, low_res = self.predict_batch(
+            point_coords=(
+                np.asarray(point_coords, np.float32)[None]
+                if point_coords is not None
+                else None
+            ),
+            point_labels=(
+                np.asarray(point_labels)[None] if point_labels is not None else None
+            ),
+            boxes=(
+                np.asarray(box, np.float32).reshape(1, 4)
+                if box is not None
+                else None
+            ),
+            mask_input=mask_input,
+            multimask_output=multimask_output,
+            return_logits=return_logits,
         )
-        e4 = 4 * (self.model.img_size // 16)
-        low_res_masks, iou_predictions = program(
-            self.variables,
-            self.features,
-            jnp.asarray(coords),
-            jnp.asarray(labels),
-            boxes if boxes is not None else jnp.zeros((1, 4), jnp.float32),
-            masks_in
-            if masks_in is not None
-            else jnp.zeros((1, e4, e4, 1), jnp.float32),
-        )
-        masks = postprocess_masks(
-            low_res_masks, self.model.img_size, self.input_size, self.original_size
-        )
-        masks = np.asarray(masks)
-        if not return_logits:
-            masks = masks > self.model.mask_threshold
-        # channel-first mask layout for the upstream API: (N, H, W)
-        masks = np.moveaxis(masks[0], -1, 0)
-        return masks, np.asarray(iou_predictions[0]), np.asarray(
-            np.moveaxis(np.asarray(low_res_masks[0]), -1, 0)
-        )
+        return masks[0], iou[0], low_res[0]
 
     def predict_batch(
         self,

@@ -78,6 +78,15 @@ def _volume_resize_programs(in_hw, patch_hw):
     return to_patch, back_to_native, labels_to_patch
 
 
+def _as_decoder_list(masks):
+    """Dual-mask models return a LIST of per-decoder mask tensors; plain
+    ``Sam`` returns one (D, H, W, C) array — iterating that would sum
+    softmaxes across depth slices. Normalize to a list."""
+    if isinstance(masks, (list, tuple)):
+        return masks
+    return [masks]
+
+
 def _depth_bucket(d: int) -> int:
     """Round the slice count up to a bucket so the heavy jitted model
     forward compiles once per BUCKET, not once per distinct volume depth
@@ -113,6 +122,7 @@ def _forward_volume(apply_fn, image_dhwc, patch_size, fetch=True):
     if d_pad != d:  # strip pad slices from every (D, ...) output
         outputs = jax.tree.map(lambda a: a[:d], outputs)
     masks = outputs["masks"] if isinstance(outputs, dict) else outputs
+    masks = _as_decoder_list(masks)
     ensemble = 0.0
     for m in masks:
         if m is None:
@@ -155,13 +165,13 @@ def test_single_volume(
         resized_label = labels_to_patch(jnp.asarray(label))
         terms = [
             loss_fn(m, resized_label)[0]
-            for m in outputs["low_res_logits"]
+            for m in _as_decoder_list(outputs["low_res_logits"])
             if m is not None and m.shape[1:3] == tuple(patch_size)
         ]
         if not terms:
             terms = [
                 loss_fn(m, resized_label)[0]
-                for m in outputs["masks"]
+                for m in _as_decoder_list(outputs["masks"])
                 if m is not None
             ]
         if terms:

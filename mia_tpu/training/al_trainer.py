@@ -284,9 +284,15 @@ class ALTrainer(BaseTrainer):
         the tunnel H2D/D2H round trip), else from the checkpoint file."""
         best = getattr(self, "_best_variables", None)
         if best is not None:
+            # COPY into the train state: the snapshot's buffers are shared
+            # with the async checkpoint writer, and the train step donates
+            # state buffers — binding them directly would let the donation
+            # delete arrays the writer is still serializing
             self.state = self.state.replace(
-                params=best["params"],
-                batch_stats=best.get("batch_stats", self.state.batch_stats),
+                params=jax.tree.map(jnp.copy, best["params"]),
+                batch_stats=jax.tree.map(
+                    jnp.copy, best.get("batch_stats", self.state.batch_stats)
+                ),
             )
             self.logger.info(f"Loaded model checkpoint from {ckpt} (in-memory)")
             return
@@ -503,11 +509,18 @@ class ALTrainer(BaseTrainer):
         # BADGE: the reference forces batch 1 as a torch memory workaround
         # (``al_trainer.py:871-879``); the vmap(grad) embedding has no such
         # constraint, so sweep in chunks of up to 8 (equality-tested vs
-        # batch 1 in test_activelearning.py).
+        # batch 1 in test_activelearning.py). Under a mesh the chunk must
+        # stay divisible by the data axis — fall back to the (guarded)
+        # config batch size when 8 isn't.
+        badge_bs = max(1, min(8, self.config.batch_size))
+        if self.mesh is not None:
+            data_size = dict(getattr(self.mesh, "shape", {})).get(
+                "data", self.mesh.size
+            )
+            if badge_bs % data_size:
+                badge_bs = self.config.batch_size
         self.active_selector = SELECTORS[name](
-            batch_size=self.config.batch_size
-            if name != "badge"
-            else max(1, min(8, self.config.batch_size)),
+            batch_size=self.config.batch_size if name != "badge" else badge_bs,
             coreset_criteria=self.config.coreset_criteria,
             coreset_fusion=self.config.coreset_fusion,
             feature_path=self.config.feature_path,
@@ -1231,6 +1244,18 @@ class ALTrainer(BaseTrainer):
     # loops
     # ------------------------------------------------------------------
     def train(self):
+        if self.mesh is not None:
+            # surface the DP contract as a config error, not a deep pjit
+            # one mid-round (eval-only mesh use has no such constraint)
+            data_size = dict(getattr(self.mesh, "shape", {})).get(
+                "data", self.mesh.size
+            )
+            if self.config.batch_size % data_size:
+                raise ValueError(
+                    f"batch_size {self.config.batch_size} must be divisible "
+                    f"by the mesh's data axis ({data_size}) — the sharded "
+                    "train/sweep programs split the batch over it"
+                )
         self.on_train_start()
         while self.current_round < self.config.num_rounds:
             self.on_round_start()

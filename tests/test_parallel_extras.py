@@ -106,3 +106,37 @@ def test_eval_program_sharded_matches_single_device(tmp_path):
     np.testing.assert_allclose(a0, a1, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(c0, c1, rtol=1e-4, atol=1e-5)
     assert abs(l0 - l1) < 1e-4
+
+
+def test_sweep_pool_sharded_partial_final_batch(rng, tmp_path):
+    """sweep_pool with the scorer's data sharding must survive a final
+    batch the mesh can't divide (10 images, batch 8, 8 devices → final
+    batch of 2): the loader falls back to default placement for it and
+    sweep_pool's repeat-padding restores the jit's full batch shape."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from synth_data import make_fugc
+
+    from mia_tpu.activelearning.scorers import sweep_pool
+    from mia_tpu.data import FUGCDataset
+
+    root = tmp_path / "data"
+    make_fugc(root, n_train=10, n_val=2, n_test=2, size=(32, 32))
+    ds = FUGCDataset(data_path=str(root), split="train", image_size=(32, 32))
+
+    cfg = UNetConfig(in_channels=3, out_classes=3, channels_list=(4, 8), dropout_prob=None)
+    model = UNet(cfg)
+    tx = make_optimizer("adam", poly_warmup_schedule(1e-3, 10, 0))
+    state = create_train_state(model, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), tx)
+    mesh = make_mesh(("data",))
+    sharded = ModelScorer(model, state, mesh=mesh)
+    single = ModelScorer(model, state)
+
+    s_scores, s_names = sweep_pool(
+        ds, 8, lambda im: sharded.uncertainty(im, "entropy"),
+        sharding=sharded.data_sharding,
+    )
+    scores, names = sweep_pool(ds, 8, lambda im: single.uncertainty(im, "entropy"))
+    assert s_names == names and len(s_names) == 10
+    np.testing.assert_allclose(s_scores, scores, rtol=1e-5, atol=1e-6)

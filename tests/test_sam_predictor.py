@@ -78,9 +78,11 @@ def test_sam_predictor_end_to_end(rng):
     assert masks_b.shape == (3, 48, 56)
 
 
-def test_amg_batched_matches_per_point(rng):
+@pytest.mark.parametrize("exact_prompts", [False, True])
+def test_amg_batched_matches_per_point(rng, exact_prompts):
     """The batched grid program must reproduce the per-point predictor
-    loop exactly: same kept masks (point-major order) and iou scores."""
+    loop exactly — in both prompt-slot modes: same kept masks
+    (point-major order) and iou scores."""
     from mia_tpu.models.sam import SamAutomaticMaskGenerator
 
     model = Sam(
@@ -93,7 +95,9 @@ def test_amg_batched_matches_per_point(rng):
     )
     x = jnp.ones((1, 64, 64, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, True, 64)
-    predictor = SamPredictor(model, variables, max_points=4)
+    predictor = SamPredictor(
+        model, variables, max_points=4, exact_prompts=exact_prompts
+    )
     image = (rng.random((48, 56, 3)) * 255).astype(np.uint8)
 
     # thresholds low enough that an untrained model keeps some masks;
