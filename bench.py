@@ -303,6 +303,61 @@ def bench_sam_encoder():
     return out
 
 
+def bench_sam_predictor():
+    """Interactive serving path (BASELINE must-run config 5, the demo's
+    predictor loop): SAM ViT-B/512 embed latency for ``set_image`` plus the
+    steady-state prompt→mask latency of ``SamPredictor.predict`` (jitted
+    prompt-encoder+decoder program, point prompt, multimask)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mia_tpu.models.sam.build_sam import sam_model_registry
+    from mia_tpu.models.sam.predictor import SamPredictor
+
+    model, _ = sam_model_registry["vit_b"](
+        image_size=512, num_classes=1, compute_dtype=jnp.bfloat16
+    )
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 255, (512, 512, 3), np.uint8)
+    variables = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 512, 512, 3), jnp.float32),
+                True,
+                512,
+            )
+        ),
+    )
+    predictor = SamPredictor(model, variables)
+    predictor.set_image(image)  # compile embed
+    _sync(predictor.features)
+    pts = np.array([[256.0, 256.0], [128.0, 300.0]], np.float32)
+    lbl = np.array([1, 1], np.int32)
+    predictor.predict(point_coords=pts, point_labels=lbl)  # compile decode
+
+    start = time.perf_counter()
+    embed_iters = 5
+    for _ in range(embed_iters):
+        predictor.set_image(image)
+        # set_image only assigns a device array — per _sync's docstring the
+        # tunnel needs a fetch to actually wait, else this times dispatch
+        # and the queued embeds would inflate the predict loop below
+        _sync(predictor.features)
+    embed_ms = (time.perf_counter() - start) / embed_iters * 1e3
+
+    start = time.perf_counter()
+    iters = 20
+    for _ in range(iters):
+        predictor.predict(point_coords=pts, point_labels=lbl)
+    predict_ms = (time.perf_counter() - start) / iters * 1e3
+    return {
+        "set_image_ms": round(embed_ms, 2),
+        "predict_ms": round(predict_ms, 2),
+    }
+
+
 def bench_torch_reference():
     """Reference-equivalent torch train step, images/sec (torch CPU — the
     reference stack is torch-only and this image has no CUDA). Same
@@ -366,6 +421,7 @@ def main():
         ("sam_encoder_img_per_sec", bench_sam_encoder),
         ("cpcsam_img_per_sec", bench_cpcsam_steps),
         ("al_round_seconds", bench_al_round),
+        ("sam_predictor_latency_ms", bench_sam_predictor),
     ):
         try:
             extras[key] = fn()
