@@ -348,3 +348,34 @@ def test_deferred_logging_matches_per_iter(fugc_root, tmp_path):
         assert s1 == s2
         np.testing.assert_allclose(lr1, lr2, rtol=1e-6)
         np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-6)
+
+
+def test_badge_chunk_respects_mesh_divisibility(fugc_root, tmp_path):
+    """Under a mesh whose data axis doesn't divide the default BADGE chunk
+    of 8, the selector falls back to the (guarded) config batch size."""
+    import numpy as np
+
+    import jax
+    from jax.sharding import Mesh
+
+    from mia_tpu.training import ALTrainer
+
+    def build(mesh, batch_size, sub):
+        t = ALTrainer(
+            work_path=tmp_path / sub,
+            config=dict(
+                seed=0, dataset="fugc", data_path=str(fugc_root), in_channels=3,
+                num_classes=2, image_size=32, batch_size=batch_size,
+                num_rounds=1, budget=1, num_iters=1,
+                active_selector_name="badge",
+            ),
+            verbose=False,
+            mesh=mesh,
+        )
+        t._setup_active_selector()
+        return t.active_selector.batch_size
+
+    mesh3 = Mesh(np.array(jax.devices()[:3]), ("data",))
+    assert build(None, 12, "a") == 8          # no mesh: capped chunk
+    assert build(mesh3, 9, "b") == 9          # 8 % 3 != 0 → config batch
+    assert build(mesh3, 6, "c") == 6          # min(8, 6) divisible by 3
