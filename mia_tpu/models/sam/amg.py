@@ -210,10 +210,13 @@ class SamAutomaticMaskGenerator:
     def _grid_program(self, input_size, original_size):
         """One jitted program per (input, original) size pair: N point
         prompts → prompt-encode → decode → upscale → stability, with the
-        mask THRESHOLDING on device too, so only bool masks + two (N, M)
-        score vectors cross the wire (4× less D2H than f32 logits — the
-        reference fetches float mask logits per batch,
-        ``automatic_mask_generator.py:276-283``)."""
+        mask THRESHOLDING and BIT-PACKING on device, so nothing heavier
+        than two (N, M) score vectors crosses the wire per chunk — the
+        packed (N·M, ceil(HW/8)) mask rows stay ON DEVICE until the host
+        has filtered by iou/stability and only the survivors are gathered
+        (``_gather_program``). The reference fetches full-resolution f32
+        logits for EVERY grid point per batch
+        (``automatic_mask_generator.py:276-283``)."""
         import jax
 
         from .sam import postprocess_masks
@@ -244,22 +247,50 @@ class SamAutomaticMaskGenerator:
                 inter = jnp.sum(masks > (thr + off), axis=(1, 2))
                 union = jnp.sum(masks > (thr - off), axis=(1, 2))
                 stability = inter / jnp.maximum(union, 1)  # (N, M)
-                return masks > thr, iou, stability
+                n, h, w, m = masks.shape
+                packed = jnp.packbits(
+                    jnp.moveaxis(masks > thr, -1, 1).reshape(n * m, h * w),
+                    axis=-1,
+                )  # (N·M, ceil(HW/8)) uint8, point-major rows
+                return packed, iou, stability
+
+            self._programs[key] = jax.jit(run)
+        return self._programs[key]
+
+    def _gather_program(self, k_pad: int):
+        """Gather ``k_pad`` surviving packed-mask rows from the stacked
+        per-chunk outputs (keyed by the padded survivor count, bucketed by
+        the caller so compiles stay bounded)."""
+        import jax
+
+        key = ("gather", k_pad)
+        if key not in self._programs:
+
+            def run(stacked_rows, idx):
+                return jnp.take(stacked_rows, idx, axis=0)
 
             self._programs[key] = jax.jit(run)
         return self._programs[key]
 
     def generate(self, image: np.ndarray) -> list[dict]:
+        import jax
+
+        from .predictor import fetch_async
+
         self.predictor.set_image(image)
         h, w = image.shape[:2]
         points = self.point_grids * np.array([w, h])
 
-        data = MaskData(masks=np.zeros((0, h, w), bool), iou_preds=np.zeros(0))
         pred = self.predictor
         program = self._grid_program(pred.input_size, pred.original_size)
         # one real point per prompt: exact_prompts predictors size tokens
         # like the reference; the default pads to max_points slots
         slots = 1 if getattr(pred, "exact_prompts", False) else max(pred.max_points, 1)
+
+        # phase 1 — dispatch EVERY chunk back-to-back (device pipelines the
+        # decodes); only the two (N, M) score vectors come back per chunk,
+        # the packed mask rows stay on device
+        chunk_rows, chunk_scores, chunk_ns = [], [], []
         for (batch_points,) in batch_iterator(self.points_per_batch, points):
             # all chunk's points in ONE device program; the short final
             # chunk is padded (repeat last point) so every chunk reuses the
@@ -274,26 +305,52 @@ class SamAutomaticMaskGenerator:
             labels = -np.ones((len(pts), slots), np.int32)
             coords[:, 0] = pred.transform.apply_coords(pts, pred.original_size)
             labels[:, 0] = 1
-            masks_b, iou_b, stab_b = program(
+            packed_b, iou_b, stab_b = program(
                 pred.variables,
                 pred.features,
                 jnp.asarray(coords),
                 jnp.asarray(labels),
             )
-            masks_b = np.moveaxis(np.asarray(masks_b)[:n], -1, 1)  # (n, M, H, W)
-            iou_b = np.asarray(iou_b)[:n]
-            stab_b = np.asarray(stab_b)[:n]
+            chunk_rows.append(packed_b)
+            chunk_scores.extend([iou_b, stab_b])
+            chunk_ns.append(n)
+
+        scores = fetch_async(chunk_scores)
+        keep_flat, iou_keep = [], []
+        m = scores[0].shape[1]
+        rows_per_chunk = self.points_per_batch * m
+        for ci, n in enumerate(chunk_ns):
+            iou_b, stab_b = scores[2 * ci][:n], scores[2 * ci + 1][:n]
             keep = (iou_b > self.pred_iou_thresh) & (
                 stab_b > self.stability_score_thresh
-            )  # (n, M); boolean indexing flattens row-major = the
-            # point-major order the per-point loop produced
-            if keep.any():
-                data.cat(
-                    MaskData(masks=masks_b[keep], iou_preds=iou_b[keep])
-                )
+            )  # (n, M); row-major flatten = the point-major order the
+            # per-point loop produced
+            pi, mi = np.nonzero(keep)
+            keep_flat.append(ci * rows_per_chunk + pi * m + mi)
+            iou_keep.append(iou_b[keep])
+        keep_flat = np.concatenate(keep_flat) if keep_flat else np.zeros(0, np.int64)
+        iou_preds = (
+            np.concatenate(iou_keep) if iou_keep else np.zeros(0, np.float32)
+        )
 
-        if len(data["masks"]) == 0:
+        if len(keep_flat) == 0:
             return []
+
+        # phase 2 — gather ONLY the survivors' packed rows (bucketed pad so
+        # survivor counts don't retrigger compiles), one D2H for all masks
+        k = len(keep_flat)
+        k_pad = max(32, 1 << (k - 1).bit_length())
+        idx = np.zeros(k_pad, np.int32)
+        idx[:k] = keep_flat
+        stacked = jnp.concatenate(chunk_rows, axis=0)
+        packed_keep = self._gather_program(k_pad)(stacked, jnp.asarray(idx))
+        (packed_host,) = fetch_async([packed_keep])
+        masks_keep = (
+            np.unpackbits(packed_host, axis=-1, count=h * w)[:k]
+            .reshape(k, h, w)
+            .astype(bool)
+        )
+        data = MaskData(masks=masks_keep, iou_preds=iou_preds)
 
         boxes = batched_mask_to_box(data["masks"])
         keep = _box_nms(boxes.astype(float), data["iou_preds"], self.box_nms_thresh)

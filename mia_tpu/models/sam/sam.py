@@ -193,6 +193,10 @@ class SamDualmask(nn.Module):
     lora_rank: int = 0
     dtype: jnp.dtype = jnp.float32
     mask_threshold: float = 0.0
+    # run the unprompted multi-decoder passes as ONE vmapped program over
+    # stacked decoder params (False = the reference-shaped Python loop,
+    # kept for equality tests)
+    use_stacked_decoders: bool = True
 
     def setup(self):
         embed_dim = 256
@@ -270,6 +274,65 @@ class SamDualmask(nn.Module):
             multimask_output,
         )
 
+    def _run_decoders_stacked(
+        self, indices, image_embeddings, sparse, dense, multimask_output
+    ):
+        """ONE vmapped decoder pass over the stacked params of the decoders
+        in ``indices`` (static) instead of a Python loop of separate passes
+        (the reference loops, ``sam_dualmask...py:271-307``). The decoders
+        are architecturally identical, so their param trees stack along a
+        leading axis and a detached template module (``parent=None``) vmaps
+        over it — the token-thin two-way transformer and the 4-stage
+        upscaler then run as len(indices)×-batched MXU ops in one schedule
+        slot. Returns (logits, iou, feats) each with leading axis
+        ``len(indices)``. Param trees stay per-decoder (``mask_decoder{i}``)
+        in checkpoints; stacking is per-call and free at HBM bandwidth."""
+        template = MaskDecoderPromptLarge(
+            transformer_dim=256,
+            transformer=TwoWayTransformer(
+                depth=2, embedding_dim=256, num_heads=8, mlp_dim=2048,
+                dtype=self.dtype, parent=None,
+            ),
+            num_multimask_outputs=self.num_classes,
+            dtype=self.dtype,
+            parent=None,
+        )
+        trees = [self.mask_decoders[i].variables["params"] for i in indices]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+        pe = self.prompt_encoder.get_dense_pe()
+        return jax.vmap(
+            lambda p: template.apply(
+                {"params": p}, image_embeddings, pe, sparse, dense, multimask_output
+            )
+        )(stacked)
+
+    def _unprompted_all(self, image_embeddings, sparse, dense, multimask_output,
+                        indices=None):
+        """All (or ``indices``) decoders unprompted → per-decoder lists.
+        Uses the stacked vmap pass unless initializing (params must be
+        created decoder-by-decoder) or ``use_stacked_decoders=False``
+        (the loop path kept for equality tests)."""
+        indices = list(range(self.num_decoders)) if indices is None else list(indices)
+        if self.is_initializing() or not self.use_stacked_decoders:
+            outs = [
+                self._run_decoder(i, image_embeddings, sparse, dense, multimask_output)
+                for i in indices
+            ]
+            return (
+                [o[0] for o in outs],
+                [o[1] for o in outs],
+                [o[2] for o in outs],
+            )
+        logits, iou, feats = self._run_decoders_stacked(
+            indices, image_embeddings, sparse, dense, multimask_output
+        )
+        k = len(indices)
+        return (
+            [logits[i] for i in range(k)],
+            [iou[i] for i in range(k)],
+            [feats[i] for i in range(k)],
+        )
+
     def raw_decoder_softmaxes(self, image_embeddings, multimask_output=True):
         """Stop-gradient softmaxes of every decoder's UNPROMPTED no-dropout
         logits, stacked (n, B, H, W, C) — the shared ingredients of the
@@ -279,17 +342,17 @@ class SamDualmask(nn.Module):
         sparse, dense = self.prompt_encoder()
         sparse = jax.lax.stop_gradient(sparse)
         dense = jax.lax.stop_gradient(dense)
-        outs = []
-        for idx in range(self.num_decoders):
-            lrl, _, _ = self._run_decoder(
-                idx, image_embeddings, sparse, dense, multimask_output
-            )
-            outs.append(
+        logits_list, _, _ = self._unprompted_all(
+            jax.lax.stop_gradient(image_embeddings), sparse, dense, multimask_output
+        )
+        return jnp.stack(
+            [
                 jax.nn.softmax(
                     jax.lax.stop_gradient(lrl).astype(jnp.float32), axis=-1
                 )
-            )
-        return jnp.stack(outs)
+                for lrl in logits_list
+            ]
+        )
 
     def __call__(
         self,
@@ -370,25 +433,41 @@ class SamDualmask(nn.Module):
         dense_features_r = [None] * n
 
         need_assemble = 0 <= prompt_idx < n and prompts is None
-        assemble = 0.0
-        for idx in range(n):
-            if idx == prompt_idx:
-                continue
-            low_res_logits[idx], iou_predictions[idx], dense_features[idx] = (
-                self._run_decoder(idx, dropout_embeddings, sparse, dense, multimask_output)
+        indices = [i for i in range(n) if i != prompt_idx]
+        if self.use_stacked_decoders and not self.is_initializing():
+            # run the FULL n-decoder stack even when one decoder is the
+            # prompted one: every per-``prompt_idx`` call then runs the
+            # IDENTICAL stacked pass (same params, same inputs), which XLA
+            # CSEs to ONE pass across the trainer's three phase-2
+            # sub-forwards — stacking only the (n−1)-subsets made each call
+            # a distinct un-CSE-able program and measured 18% slower
+            # (docs/PERF.md §20)
+            lrls, ious, feats = self._unprompted_all(
+                dropout_embeddings, sparse, dense, multimask_output
             )
-            if not need_assemble:
-                continue
-            if self.dropout_rate > 0 and train:
-                raw_logit, _, _ = self._run_decoder(
-                    idx, image_embeddings, sparse, dense, multimask_output
+            picked = [(lrls[i], ious[i], feats[i]) for i in indices]
+        else:
+            picked = list(
+                zip(
+                    *self._unprompted_all(
+                        dropout_embeddings, sparse, dense, multimask_output,
+                        indices,
+                    )
                 )
-                raw_logit = jax.lax.stop_gradient(raw_logit)
-                assemble = assemble + jax.nn.softmax(raw_logit.astype(jnp.float32), axis=-1)
+            )
+        for k, idx in enumerate(indices):
+            low_res_logits[idx], iou_predictions[idx], dense_features[idx] = picked[k]
+        assemble = 0.0
+        if need_assemble:
+            if self.dropout_rate > 0 and train:
+                raw_lrls, _, _ = self._unprompted_all(
+                    image_embeddings, sparse, dense, multimask_output, indices
+                )
             else:
+                raw_lrls = [low_res_logits[i] for i in indices]
+            for raw in raw_lrls:
                 assemble = assemble + jax.nn.softmax(
-                    jax.lax.stop_gradient(low_res_logits[idx]).astype(jnp.float32),
-                    axis=-1,
+                    jax.lax.stop_gradient(raw).astype(jnp.float32), axis=-1
                 )
         assemble = assemble / (n - 1)
 

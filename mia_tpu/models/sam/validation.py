@@ -87,23 +87,34 @@ def _as_decoder_list(masks):
     return [masks]
 
 
-def _depth_bucket(d: int) -> int:
+def _depth_bucket(d: int, multiple: int = 1) -> int:
     """Round the slice count up to a bucket so the heavy jitted model
     forward compiles once per BUCKET, not once per distinct volume depth
     (zero-pad slices are batch-independent and sliced back off — exact).
-    ``MIA_EVAL_DEPTH_BUCKET`` (default 4) sets the step; 0 disables."""
+    ``MIA_EVAL_DEPTH_BUCKET`` (default 4) sets the step; 0 disables.
+    ``multiple`` additionally forces divisibility (a mesh's data-axis size,
+    so the slice stack shards evenly across chips)."""
     import os
 
     try:
         step = int(os.environ.get("MIA_EVAL_DEPTH_BUCKET", "4") or 0)
     except ValueError:
         step = 4
-    if step <= 0:
-        return d
-    return -(-d // step) * step
+    step = max(step, 1)
+    multiple = max(int(multiple), 1)
+    if step % multiple:
+        # lcm keeps both the bucket granularity and mesh divisibility
+        import math
+
+        step = step * multiple // math.gcd(step, multiple)
+    d = -(-d // step) * step if step > 1 else d
+    if d % multiple:
+        d = -(-d // multiple) * multiple
+    return d
 
 
-def _forward_volume(apply_fn, image_dhwc, patch_size, fetch=True):
+def _forward_volume(apply_fn, image_dhwc, patch_size, fetch=True,
+                    depth_multiple: int = 1):
     """Resize slices (on device), run the model once, ensemble decoder
     softmaxes, nearest-resize the argmax back (on device). ``fetch=False``
     keeps the prediction on device (deferred-sync eval paths)."""
@@ -112,7 +123,7 @@ def _forward_volume(apply_fn, image_dhwc, patch_size, fetch=True):
         (h, w), (int(patch_size[0]), int(patch_size[1]))
     )
     resized = to_patch(jnp.asarray(image_dhwc, jnp.float32))
-    d_pad = _depth_bucket(d)
+    d_pad = _depth_bucket(d, depth_multiple)
     if d_pad != d:
         resized = jnp.concatenate(
             [resized, jnp.zeros((d_pad - d,) + resized.shape[1:], resized.dtype)],
@@ -142,6 +153,7 @@ def test_single_volume(
     patch_size=(512, 512),
     loss_fn=None,
     defer=False,
+    depth_multiple: int = 1,
 ):
     """image (1, D, H, W, C) or (D, H, W, C); label (…, D, H, W).
 
@@ -149,13 +161,18 @@ def test_single_volume(
     ``defer=True`` returns the ((C−1, 2) metrics, scalar loss) as DEVICE
     arrays with no host sync — callers fetch a whole epoch in one
     ``device_get`` so per-case dispatch runs ahead of the tunnel.
+    ``depth_multiple`` pads the slice stack to a mesh-divisible depth
+    (pad slices are exact no-ops, stripped before metrics).
     """
     image = np.asarray(image, np.float32)
     label = np.asarray(label, np.int32)
     if image.ndim == 5:
         image, label = image[0], label[0]
 
-    pred, outputs = _forward_volume(apply_fn, image, patch_size, fetch=not defer)
+    pred, outputs = _forward_volume(
+        apply_fn, image, patch_size, fetch=not defer,
+        depth_multiple=depth_multiple,
+    )
 
     loss = None
     if loss_fn is not None and isinstance(outputs, dict):
@@ -200,6 +217,7 @@ def test_single_volume_mean(
     case: str | None = None,
     z_spacing: int = 1,
     raw_spacing=None,
+    depth_multiple: int = 1,
 ):
     """Full test-path evaluation with spacing-aware (dice, hd, asd, jc) and
     optional prediction dumps (``validation.py:424-516``)."""
@@ -208,7 +226,9 @@ def test_single_volume_mean(
     if image.ndim == 5:
         image, label = image[0], label[0]
 
-    pred, _ = _forward_volume(apply_fn, image, patch_size)
+    pred, _ = _forward_volume(
+        apply_fn, image, patch_size, depth_multiple=depth_multiple
+    )
 
     if raw_spacing is None and case is not None and data_path is not None:
         # reference reads the raw case NIfTI for its true spacing and

@@ -475,6 +475,17 @@ class ALTrainer(BaseTrainer):
         return labeled_base, pool_base, valid_dataset, active_dataset, valid_loader
 
     def get_train_dataloader(self, active_dataset: ActiveDataset):
+        n_labeled = len(active_dataset.get_train_dataset())
+        if 0 < n_labeled < self.config.batch_size and not self.config.do_oversample:
+            # with drop_last the loader would yield ZERO batches and the
+            # iter-driven train loop would spin through empty epochs forever
+            # — the reference has the same silent hang
+            # (al_trainer.py:648-668 + :1563); fail loudly instead
+            raise ValueError(
+                f"labeled set ({n_labeled}) is smaller than batch_size "
+                f"({self.config.batch_size}) and drop_last would yield zero "
+                "batches: pass --do-oversample (or lower --batch-size)"
+            )
         return BatchLoader(
             active_dataset.get_train_dataset(),
             batch_size=self.config.batch_size,
@@ -998,18 +1009,23 @@ class ALTrainer(BaseTrainer):
         # lr is a pure function of the step — no D2H round-trip
         lr = float(self.lr_schedule(step_index))
         log_every = max(1, int(getattr(self.config, "log_every_iters", 1)))
+        self._pending_train_logs.append((step_index, lr, metrics["loss"]))
         if log_every <= 1:
-            loss = float(metrics["loss"])  # the ONE device fetch per iteration
-            self.logger.info(f"lr: {lr}")
-            self.logger.info(f"Loss: {loss}")
-            self._record_train_loss(step_index, lr, loss)
-        else:
-            # defer the fetch: at ~135 ms/step the per-iteration D2H sync
-            # serializes host dispatch against device compute; stash the
-            # device scalar and flush every ``log_every`` steps.
-            self._pending_train_logs.append((step_index, lr, metrics["loss"]))
-            if (step_index + 1) % log_every == 0:
-                self._flush_train_logs()
+            # per-iteration logging with a ONE-iteration lag: start the
+            # async host copy for THIS step's loss, then emit the line for
+            # step i−1, whose copy had a whole device step to land — the
+            # reference's per-iter cadence (al_trainer.py:1384-1396) without
+            # serializing host dispatch against the device (the sync fetch
+            # held the train phase at ~2.7x device time, docs/PERF.md §13)
+            metrics["loss"].copy_to_host_async()
+            if len(self._pending_train_logs) > 1:
+                p_idx, p_lr, p_loss = self._pending_train_logs.pop(0)
+                loss = float(np.asarray(p_loss))
+                self.logger.info(f"Iteration {p_idx} lr: {p_lr} Loss: {loss}")
+                self._record_train_loss(p_idx, p_lr, loss)
+        elif (step_index + 1) % log_every == 0:
+            # windowed deferral: flush every ``log_every`` steps
+            self._flush_train_logs()
 
         elapsed = time.time() - start
         self.logger.info(f"Iteration time elapsed: {elapsed:.3f} seconds")

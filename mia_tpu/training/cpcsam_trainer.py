@@ -767,8 +767,7 @@ class CPCSAMTrainer(BaseTrainer):
         self._step_phase1 = make_step(False)
         self._step_phase2 = make_step(True)
 
-        @jax.jit
-        def eval_fwd(params, images):
+        def eval_fwd_fn(params, images):
             # jitted valid/test forward (params as an argument so every
             # valid step reuses one compilation; the former closure-based
             # version dispatched the whole model op-by-op)
@@ -781,6 +780,23 @@ class CPCSAMTrainer(BaseTrainer):
                 None,
                 rngs={"prompt": jax.random.PRNGKey(0)},
             )
+
+        if self.mesh is not None:
+            # mesh eval: the volume's slice stack shards over the data axis
+            # (the reference's own batching trick scaled across chips,
+            # ``validation.py:29-79``); _forward_volume pads depth to the
+            # axis size via ``depth_multiple`` (self._eval_depth_multiple)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            data = NamedSharding(self.mesh, P("data"))
+            eval_fwd = jax.jit(
+                eval_fwd_fn, in_shardings=(repl, data), out_shardings=repl
+            )
+            self._eval_depth_multiple = int(self.mesh.shape["data"])
+        else:
+            eval_fwd = jax.jit(eval_fwd_fn)
+            self._eval_depth_multiple = 1
 
         def eval_apply(params):
             return lambda images: eval_fwd(params, images)
@@ -833,23 +849,29 @@ class CPCSAMTrainer(BaseTrainer):
             jnp.asarray(self.current_iter),
         )
         log_every = max(1, int(getattr(self.config, "log_every_iters", 1)))
+        self._pending_train_logs.append((self.current_iter, metrics))
         if log_every <= 1:
-            # ONE device fetch for all five scalars (five separate float()
-            # casts would each pay a TPU-tunnel round trip)
-            vals = jax.device_get(
-                [metrics[k] for k in ("loss", "loss1", "loss2", "loss3", "lr")]
-            )
-            losses = [float(v) for v in vals[:4]]
-            self.logger.info(f"lr: {float(vals[4])}")
-            self.logger.info(f"Loss: {losses}")
-            self.epoch_train_outputs.append({"loss": losses})
-        else:
-            # defer the fetch: stash device scalars, flush every log_every
-            # steps so dispatch runs ahead of the tunnel (same scheme as
-            # ALTrainer.train_step)
-            self._pending_train_logs.append((self.current_iter, metrics))
-            if (self.current_iter + 1) % log_every == 0:
-                self._flush_train_logs()
+            # per-iteration cadence with a ONE-iteration lag (same scheme
+            # as ALTrainer.train_step): async-copy THIS step's scalars,
+            # emit step i−1's line — its copies had a whole device step to
+            # land, so the fetch no longer serializes dispatch against the
+            # device (reference cadence: cpcsam_trainer.py:1300-1315)
+            for k in ("loss", "loss1", "loss2", "loss3", "lr"):
+                metrics[k].copy_to_host_async()
+            if len(self._pending_train_logs) > 1:
+                p_iter, p_metrics = self._pending_train_logs.pop(0)
+                vals = [
+                    float(np.asarray(p_metrics[k]))
+                    for k in ("loss", "loss1", "loss2", "loss3", "lr")
+                ]
+                losses = vals[:4]
+                self.logger.info(
+                    f"Iteration {p_iter} lr: {vals[4]} Loss: {losses}"
+                )
+                self.epoch_train_outputs.append({"loss": losses})
+        elif (self.current_iter + 1) % log_every == 0:
+            # windowed deferral: flush every log_every steps
+            self._flush_train_logs()
         self.logger.info(
             f"Iteration time elapsed: {time.time() - start:.3f} seconds"
         )
@@ -883,6 +905,7 @@ class CPCSAMTrainer(BaseTrainer):
             patch_size=(self.config.image_size, self.config.image_size),
             loss_fn=self.supervised_loss,
             defer=True,
+            depth_multiple=getattr(self, "_eval_depth_multiple", 1),
         )
         self.epoch_valid_outputs.append({"metric": metric_dev, "loss": loss_dev})
 
@@ -1033,6 +1056,7 @@ class CPCSAMTrainer(BaseTrainer):
                     test_save_path=save_path,
                     case=batch["case_name"][0],
                     raw_spacing=raw_spacing,
+                    depth_multiple=getattr(self, "_eval_depth_multiple", 1),
                 )
             )
         import warnings

@@ -109,7 +109,7 @@ def bucket(per_op):
     return buckets
 
 
-def report(logdir, steps, top=40):
+def report(logdir, steps, top=40, hlo_text=None):
     per_op, total = device_op_times(logdir, steps)
     print(f"total device busy: {total/1e3:.2f} ms/step")
     print("-- buckets --")
@@ -118,6 +118,40 @@ def report(logdir, steps, top=40):
     print(f"-- top {top} ops --")
     for name, us in sorted(per_op.items(), key=lambda kv: -kv[1])[:top]:
         print(f"  {us/1e3:9.3f} ms  {name[:120]}")
+    if hlo_text:
+        print("-- attribution by op_name metadata --")
+        for grp, us in attribute(per_op, hlo_text).most_common(30):
+            print(f"  {us/1e3:9.3f} ms  {grp[:140]}")
+
+
+def _shorten_opname(op: str) -> str:
+    """Compress a jit op_name path to a readable attribution group:
+    direction (fwd/bwd) + the innermost module-ish path segments."""
+    direction = "bwd" if "transpose(" in op else "fwd"
+    parts = [
+        p
+        for p in op.replace("transpose(jvp(", "").replace("jvp(", "").split("/")
+        if p and not p.startswith("jit(")
+    ]
+    # drop the HLO-leaf op (add/dot_general/...) to group by module
+    keep = parts[:-1] if len(parts) > 1 else parts
+    tail = "/".join(keep[-3:])
+    return f"{direction} {tail}"
+
+
+def attribute(per_op, hlo_text):
+    """Aggregate per-op device time by the HLO metadata op_name groups."""
+    meta = {}
+    pat = re.compile(r"^\s*(?:ROOT )?%?([A-Za-z0-9_.\-]+) = .*op_name=\"([^\"]*)\"")
+    for line in hlo_text.splitlines():
+        m = pat.match(line)
+        if m:
+            meta[m.group(1)] = m.group(2)
+    groups = collections.Counter()
+    for name, us in per_op.items():
+        op = meta.get(name)
+        groups[_shorten_opname(op) if op else f"<no-metadata> {name.split('.')[0]}"] += us
+    return groups
 
 
 # ---------------------------------------------------------------- targets
@@ -139,7 +173,7 @@ def _target_unet(augmented):
     return one
 
 
-def _target_phase2():
+def _target_phase(phase2: bool):
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench as B
     import jax
@@ -162,15 +196,21 @@ def _target_phase2():
     labels = jnp.asarray(
         rng.integers(0, cfg.num_classes + 1, (cfg.batch_size, 512, 512)), jnp.int32)
     key = jax.random.PRNGKey(0)
-    import jax as J
+    step_fn = tr._step_phase2 if phase2 else tr._step_phase1
     st = {"p": tr.params, "o": tr.opt_state, "m": tr.memory, "i": 0}
 
     def one():
-        st["p"], st["o"], st["m"], metrics = tr._step_phase2(
+        st["p"], st["o"], st["m"], metrics = step_fn(
             st["p"], st["o"], st["m"], images, labels, key, jnp.asarray(st["i"]))
         st["i"] += 1
         B._sync(metrics["loss"])
 
+    def hlo_text():
+        return step_fn.lower(
+            st["p"], st["o"], st["m"], images, labels, key, jnp.asarray(0)
+        ).compile().as_text()
+
+    one.hlo_text = hlo_text
     return one
 
 
@@ -203,7 +243,8 @@ def _target_encoder():
 TARGETS = {
     "unet_aug": lambda: _target_unet(True),
     "unet_bare": lambda: _target_unet(False),
-    "phase2": _target_phase2,
+    "phase1": lambda: _target_phase(False),
+    "phase2": lambda: _target_phase(True),
     "encoder_fwd_bwd": _target_encoder,
 }
 
@@ -216,4 +257,5 @@ if __name__ == "__main__":
     one()
     logdir = capture(one, steps=steps)
     print("trace:", logdir)
-    report(logdir, steps)
+    hlo = one.hlo_text() if hasattr(one, "hlo_text") else None
+    report(logdir, steps, hlo_text=hlo)

@@ -149,6 +149,7 @@ def test_vat_phase_program_builds(tmp_path):
         trainer.epoch_train_outputs = []
         batch = next(iter(trainer._train_loader()))
         trainer.train_step(batch)
+        trainer._flush_train_logs()  # per-iter logging runs one iter behind
         losses = trainer.epoch_train_outputs[0]["loss"]
         assert np.isfinite(losses[0])
         assert losses[3] != 0.0  # adv term contributed to loss3
@@ -195,6 +196,7 @@ def test_cpcsam_step_sharded(tmp_path):
         trainer.epoch_train_outputs = []
         batch = next(iter(trainer._train_loader()))
         trainer.train_step(batch)
+        trainer._flush_train_logs()  # per-iter logging runs one iter behind
         assert np.isfinite(trainer.epoch_train_outputs[0]["loss"][0])
     finally:
         bs._VIT_SPECS["vit_b"] = orig
@@ -300,3 +302,74 @@ def test_eval_depth_bucketing_exact(rng, monkeypatch):
         np.asarray(m_bucket, np.float32), np.asarray(m_exact, np.float32),
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_cpcsam_valid_epoch_sharded_matches_single_device(tmp_path):
+    """A FULL CPC-SAM valid epoch (volume slice-stacks,
+    reference ``validation.py:29-79``) under the 8-device mesh produces the
+    same per-case metrics and losses as the single-device path — the
+    padding/partial-stack integration layer (depth_multiple) is exact
+    (VERDICT r3 #6). Volume depths (3, 5) deliberately do NOT divide the
+    mesh's data axis."""
+    from mia_tpu.parallel import make_mesh
+    from mia_tpu.training.cpcsam_trainer import CPCSAMTrainer
+
+    make_acdc(tmp_path / "data", n_slices=8, n_vols=2, size=(32, 32), depth=3)
+    # second volume with a different depth: rewrite one valid volume to 5
+    import h5py
+
+    vol_dir = tmp_path / "data" / "ACDC"
+    lists = (vol_dir / "val.list").read_text().split()
+    with h5py.File(vol_dir / "data" / f"{lists[-1]}.h5", "r+") as f:
+        img = f["image"][...]
+        lab = f["label"][...]
+        del f["image"], f["label"]
+        f["image"] = np.concatenate([img, img[:2]], axis=0)
+        f["label"] = np.concatenate([lab, lab[:2]], axis=0)
+
+    config = dict(
+        seed=7,
+        num_classes=3,
+        image_size=32,
+        batch_size=8,
+        labeled_num=1,
+        data_path=str(tmp_path / "data"),
+        min_iter=1,
+        max_iter=1,
+        warmup_iter=100,
+        valid_freq_iter=100,
+        lr_warmup_iter=1,
+        num_epochs=1,
+        lora_rank=2,
+    )
+    import mia_tpu.models.sam.build_sam as bs
+    from mia_tpu.training import cpcsam_trainer as ct
+
+    orig = bs._VIT_SPECS["vit_b"]
+    bs._VIT_SPECS["vit_b"] = dict(embed_dim=32, depth=1, num_heads=2, global_idx=(0,))
+    ct.PATIENTS_TO_SLICES["ACDC"]["1"] = 4
+
+    def run_valid_epoch(mesh):
+        trainer = CPCSAMTrainer(
+            work_path=tmp_path / ("mesh" if mesh else "single"),
+            config=config, verbose=False, mesh=mesh,
+        )
+        trainer.initialize()
+        trainer.on_train_start()
+        trainer.epoch_valid_outputs = []
+        for batch in trainer.valid_dataloader:
+            trainer.valid_step(batch)
+        outs = jax.device_get(trainer.epoch_valid_outputs)
+        return [(np.asarray(o["metric"]), float(o["loss"])) for o in outs]
+
+    try:
+        single = run_valid_epoch(None)
+        sharded = run_valid_epoch(make_mesh(("data",)))
+    finally:
+        bs._VIT_SPECS["vit_b"] = orig
+        ct.PATIENTS_TO_SLICES["ACDC"]["1"] = 32
+
+    assert len(single) == len(sharded) == 2
+    for (m1, l1), (m2, l2) in zip(single, sharded):
+        np.testing.assert_allclose(m1, m2, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(l1, l2, rtol=1e-4, atol=1e-5)

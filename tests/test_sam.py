@@ -304,3 +304,70 @@ def test_patch_embed_mm_matches_conv(rng):
             np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-4,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_stacked_decoders_match_loop(dual_setup):
+    """The ONE-vmapped-pass unprompted decoder path (use_stacked_decoders,
+    VERDICT r3 #3) is numerically the reference-shaped Python loop: same
+    logits/iou/features for phase-1 (prompt_idx=-1), for the prompt-injected
+    phase-2 shape, and for raw_decoder_softmaxes. Gradients agree too."""
+    model, variables, x = dual_setup
+    loop_model = SamDualmask(num_decoders=3, use_stacked_decoders=False, **TINY)
+
+    out_s = model.apply(
+        variables, x, True, 64, -1, None, rngs={"prompt": jax.random.PRNGKey(2)}
+    )
+    out_l = loop_model.apply(
+        variables, x, True, 64, -1, None, rngs={"prompt": jax.random.PRNGKey(2)}
+    )
+    for i in range(3):
+        np.testing.assert_allclose(
+            out_s["low_res_logits"][i], out_l["low_res_logits"][i],
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            out_s["iou_predictions"][i], out_l["iou_predictions"][i],
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            out_s["dense_features"][i], out_l["dense_features"][i],
+            rtol=1e-5, atol=1e-5,
+        )
+
+    emb_s = model.apply(variables, x, method=model.get_image_embeddings)
+    raw_s = model.apply(variables, emb_s, method=model.raw_decoder_softmaxes)
+    raw_l = loop_model.apply(
+        variables, emb_s, method=loop_model.raw_decoder_softmaxes
+    )
+    np.testing.assert_allclose(raw_s, raw_l, rtol=1e-5, atol=1e-6)
+
+    # phase-2 shape: prompted decoder 0, others stacked
+    rngs = {"prompt": jax.random.PRNGKey(3)}
+    out_s2 = model.apply(variables, x, True, 64, 0, ["point"], rngs=rngs)
+    out_l2 = loop_model.apply(variables, x, True, 64, 0, ["point"], rngs=rngs)
+    for i in range(3):
+        np.testing.assert_allclose(
+            out_s2["low_res_logits"][i], out_l2["low_res_logits"][i],
+            rtol=1e-5, atol=1e-5,
+        )
+
+    # gradients through the stacked pass match the loop's
+    def loss(m):
+        def f(v):
+            out = m.apply(
+                v, x, True, 64, -1, None, rngs={"prompt": jax.random.PRNGKey(2)}
+            )
+            return sum(
+                jnp.sum(l.astype(jnp.float32) ** 2) for l in out["low_res_logits"]
+            )
+
+        return jax.grad(f)(variables)
+
+    g_s, g_l = loss(model), loss(loop_model)
+    flat_s, flat_l = jax.tree.leaves(g_s), jax.tree.leaves(g_l)
+    assert len(flat_s) == len(flat_l)
+    # the vmapped stack batches the weight matmuls, so backward
+    # accumulation order differs from the loop — bounded by float
+    # reassociation (observed ≤5e-4 relative on O(800) grads)
+    for a, b in zip(flat_s, flat_l):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-3)

@@ -172,7 +172,10 @@ def test_predict_batch_matches_sequential(rng):
         )
         np.testing.assert_allclose(masks_b[i], m, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(iou_b[i], iou, rtol=1e-5, atol=1e-6)
-        np.testing.assert_allclose(low_b[i], low, rtol=1e-4, atol=1e-5)
+        # low-res rides the wire as float16 (predictor.py docstring): a
+        # tiny batch-vs-single f32 tiling difference can quantize to one
+        # f16 ulp (~4.9e-4 relative), so the bound is the wire precision
+        np.testing.assert_allclose(low_b[i], low, rtol=1e-3, atol=5e-4)
 
 
 def test_predictor_parity_vs_torch(rng):
