@@ -205,6 +205,13 @@ class EinsumConvTranspose2x(nn.Module):
     dimension: int = 2
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # "always": use the Pallas interleave-free kernel (ops/upsample2x.py).
+    # Default OFF: in-context on the CPC-SAM phase programs the kernel is a
+    # measured 32-45% REGRESSION (docs/PERF.md §21) — its per-row-band grid
+    # runs thin (W, Cin)x(Cin, Cout) GEMMs the MXU can't fill, while XLA's
+    # einsum lowering batches the whole contraction as one large GEMM and
+    # pays only the interleave copy. Kept for the equality test.
+    use_pallas: str = "never"
 
     @nn.compact
     def __call__(self, x):
@@ -225,6 +232,16 @@ class EinsumConvTranspose2x(nn.Module):
         # directly from the einsum so the final reshape is a free dim-merge
         # (row-major (b,h,i,w,j,f) == (b,2h,2w,f))
         w = kernel[(slice(None, None, -1),) * nd]
+        if nd == 2 and self.use_pallas == "always":
+            from ..ops.upsample2x import conv_transpose2x_p, upsample2x_available
+
+            interpret = jax.default_backend() != "tpu"
+            if upsample2x_available(
+                x.shape[1], x.shape[2], x.shape[3], self.features, interpret
+            ):
+                return conv_transpose2x_p(
+                    x, w, bias.astype(jnp.float32), interpret
+                )
         if nd == 2:
             b, h, ww, c = x.shape
             y = jnp.einsum("bhwc,ijcf->bhiwjf", x, w)

@@ -126,8 +126,10 @@ def report(logdir, steps, top=40, hlo_text=None):
 
 def _shorten_opname(op: str) -> str:
     """Compress a jit op_name path to a readable attribution group:
-    direction (fwd/bwd) + the innermost module-ish path segments."""
+    direction (fwd/bwd) + the innermost module-ish path segments, with
+    repeated-submodule indices collapsed (block7 → block*)."""
     direction = "bwd" if "transpose(" in op else "fwd"
+    op = re.sub(r"\b(block|mask_decoder|layer|up|norm|hyper_mlp)\d+\b", r"\1*", op)
     parts = [
         p
         for p in op.replace("transpose(jvp(", "").replace("jvp(", "").split("/")

@@ -121,3 +121,38 @@ def test_unet_grads_match_between_conv_paths():
             leaf, flat_p[path], rtol=2e-5, atol=1e-6,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_conv_transpose2x_pallas_matches_einsum():
+    """The Pallas interleave-free k2/s2 ConvTranspose (ops/upsample2x.py,
+    docs/PERF.md §21) equals the einsum lowering — outputs AND all grads —
+    in interpret mode, on the SAM-upscaler-like thin-channel shapes."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from mia_tpu.models.unet import EinsumConvTranspose2x
+
+    rng = np.random.default_rng(3)
+    for (h, w, cin, cout) in [(8, 8, 32, 16), (4, 12, 16, 16), (8, 8, 64, 32)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, cin)), jnp.float32)
+        ein = EinsumConvTranspose2x(cout, dimension=2, use_pallas="never")
+        pal = EinsumConvTranspose2x(cout, dimension=2, use_pallas="always")
+        v = ein.init(jax.random.PRNGKey(0), x)
+
+        y_e = ein.apply(v, x)
+        y_p = pal.apply(v, x)
+        assert y_p.shape == (2, 2 * h, 2 * w, cout)
+        np.testing.assert_allclose(y_p, y_e, rtol=1e-5, atol=1e-5)
+
+        def loss(mod):
+            def f(v, x):
+                return jnp.sum(mod.apply(v, x) ** 2)
+
+            return jax.grad(f, argnums=(0, 1))(v, x)
+
+        (gv_e, gx_e), (gv_p, gx_p) = loss(ein), loss(pal)
+        np.testing.assert_allclose(gx_p, gx_e, rtol=1e-4, atol=1e-4)
+        for a, b in zip(jax.tree.leaves(gv_p), jax.tree.leaves(gv_e)):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
