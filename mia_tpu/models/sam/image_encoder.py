@@ -219,7 +219,12 @@ class Attention(nn.Module):
     ``windowed_input``: the input is in the partitioned (B·nW, ws, ws, C)
     layout with EXACTLY-ZERO pad tokens (the fused LN+partition kernel's
     output, ``ops/ln_window.py``); no partition or re-masking happens here
-    and the output IS unpartitioned back to the grid via ``grid_hw``."""
+    and the output IS unpartitioned back to the grid via ``grid_hw`` —
+    unless ``windowed_output`` is set, in which case proj runs on the
+    windowed tokens (linear per token; pad-slot outputs are garbage the
+    consumer must drop) and the (B·nW, ws, ws, dim) layout is returned
+    for the fused unpartition+residual+norm2 kernel
+    (``ops/unpartition_residual.py``)."""
 
     dim: int
     num_heads: int = 8
@@ -232,6 +237,7 @@ class Attention(nn.Module):
     window_size: int = 0  # 0 = global; >0 = window attention handled here
     pre_windowed: bool = False
     windowed_input: bool = False
+    windowed_output: bool = False
     grid_hw: Tuple[Tuple[int, int], Tuple[int, int]] | None = None
 
     @nn.compact
@@ -437,6 +443,14 @@ class Attention(nn.Module):
                         None,
                         interpret,
                     )
+                if self.windowed_input and self.windowed_output:
+                    # proj on the flat windowed tokens (row-major GEMM
+                    # output layout — the fused unpartition kernel's
+                    # operand); pad-slot rows cost ~0.05 ms of extra
+                    # 768²-GEMM and their outputs are dropped by the
+                    # kernel's band join
+                    out = proj(out.astype(self.dtype))
+                    return out.reshape(bw, h, w, self.dim)
                 out = out.astype(self.dtype).reshape(bw, h, w, self.dim)
                 if ws > 0 and not already_windowed:
                     out = window_unpartition(out, ws, pad_hw, (full_h, full_w))
@@ -484,6 +498,8 @@ class Attention(nn.Module):
             if ws > 0 and not already_windowed:
                 out = window_unpartition(out, ws, pad_hw, (full_h, full_w))
             elif self.windowed_input:
+                if self.windowed_output:
+                    return proj(out)
                 out = window_unpartition(out, ws, self.grid_hw[0], self.grid_hw[1])
             return proj(out)
 
@@ -533,6 +549,8 @@ class Attention(nn.Module):
         if ws > 0 and not already_windowed:
             out = window_unpartition(out, ws, pad_hw, (full_h, full_w))
         elif self.windowed_input:
+            if self.windowed_output:
+                return proj(out)
             out = window_unpartition(out, ws, self.grid_hw[0], self.grid_hw[1])
         return proj(out)
 
@@ -563,7 +581,17 @@ class Block(nn.Module):
     ``fuse_ln_window``: run ``window_partition(LayerNorm(x))`` as ONE Pallas
     kernel each way (``ops/ln_window.py``) instead of an XLA LN fusion (with
     bf16↔f32 converts) followed by a partition copy — "auto" enables it on
-    TPU for windowed blocks whenever the channel count tiles."""
+    TPU for windowed blocks whenever the channel count tiles.
+
+    ``fuse_unpart_residual``: the symmetric exit fusion — attention's proj
+    output stays windowed and ``unpartition + residual-add + norm2`` run as
+    ONE Pallas kernel (``ops/unpartition_residual.py``); requires the
+    fused LN+partition entry (same layout contract). Default OFF: measured
+    NEUTRAL-to-negative on a v5e at ViT-B/512 b8 (device busy 69.6 →
+    70.2 ms, fwd+bwd 110.6 → 108.6 img/s) — by round 4 the exit
+    unpartition/add/norm2 were already absorbed into XLA's loop fusions
+    (whole-step data formatting is ~4 ms), so the kernel replaces
+    already-fused ops and adds pad-token proj work (docs/PERF.md §23)."""
 
     dim: int
     num_heads: int
@@ -578,10 +606,15 @@ class Block(nn.Module):
     pre_windowed: bool = False
     grid_hw: Tuple[Tuple[int, int], Tuple[int, int]] | None = None
     fuse_ln_window: str = "auto"  # "auto" | "always" | "never"
+    fuse_unpart_residual: str = "never"  # "always" | "never" (measured neutral)
 
     @nn.compact
     def __call__(self, x):
         from ...ops.ln_window import ln_window_available, ln_window_partition
+        from ...ops.unpartition_residual import (
+            unpartition_add_ln,
+            unpartition_add_ln_available,
+        )
 
         shortcut = x
         ws = self.window_size
@@ -595,6 +628,13 @@ class Block(nn.Module):
                 or (not interpret and self.fused in ("auto", "always"))
             )
             and ln_window_available(x.shape[-1], ws, interpret, x.shape[2])
+        )
+        use_upr = (
+            use_lnw
+            and self.fuse_unpart_residual != "never"
+            and unpartition_add_ln_available(
+                shortcut.shape[-1], ws, interpret, shortcut.shape[2]
+            )
         )
         if use_lnw:
             ln_scale, ln_bias = _LNParams(self.dim, name="norm1")()
@@ -624,12 +664,24 @@ class Block(nn.Module):
             window_size=self.window_size,
             pre_windowed=self.pre_windowed,
             windowed_input=use_lnw,
+            windowed_output=use_upr,
             grid_hw=(pad_hw, hw) if use_lnw else self.grid_hw,
             name="attn",
         )(x)
+        mlp = MLPBlock(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                       name="mlp")
+        if use_upr:
+            # attention honored windowed_output (every windowed_input
+            # branch does): fuse exit unpartition + residual add + norm2
+            # into one kernel pass
+            ln2_scale, ln2_bias = _LNParams(self.dim, name="norm2")()
+            x, y = unpartition_add_ln(
+                x, shortcut, ln2_scale, ln2_bias, ws, interpret=interpret
+            )
+            return x + mlp(y)
         x = shortcut + x
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        return x + MLPBlock(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
+        return x + mlp(y)
 
 
 class _PatchEmbedMM(nn.Module):
@@ -686,6 +738,7 @@ class ImageEncoderViT(nn.Module):
     # 70.4 vs 82.9 — docs/PERF.md §6). Default off; exact-parity tested.
     share_window_runs: bool = False
     fuse_ln_window: str = "auto"  # fused LN+partition kernel (see Block)
+    fuse_unpart_residual: str = "never"  # fused exit kernel (measured neutral)
     patch_embed_mm: bool = True  # reshape+matmul patch embed (see _PatchEmbedMM)
 
     @nn.compact
@@ -727,6 +780,7 @@ class ImageEncoderViT(nn.Module):
                 pre_windowed=pre_windowed,
                 grid_hw=grid_hw,
                 fuse_ln_window=self.fuse_ln_window,
+                fuse_unpart_residual=self.fuse_unpart_residual,
                 name=f"block{i}",
             )
 
