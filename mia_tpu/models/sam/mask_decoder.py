@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..unet import EinsumConvTranspose2x
@@ -79,6 +80,15 @@ class _DecoderCore(nn.Module):
     iou_head_depth: int
     iou_head_hidden_dim: int
     dtype: jnp.dtype = jnp.float32
+    # hypernetwork mask product form. The einsum "btc,bhwc->bhwt" is a
+    # K=C dot (C=16/32) — XLA lowers it GEMM/conv-style and its operand
+    # layout preference (W-minor) fights the upscaler GEMM's C-minor
+    # output, materializing full (B,H',W',C) layout-normalization copies
+    # each way (the §21/§24-profiled bucket). "elementwise" computes the
+    # same contraction as a broadcast multiply + tiny-axis sum that fuses
+    # into the gelu producer with NO layout constraint. "auto": elementwise
+    # on TPU when C ≤ 32, einsum otherwise.
+    hyper_product: str = "auto"  # "auto" | "einsum" | "elementwise"
 
     def setup(self):
         self.num_mask_tokens = self.num_multimask_outputs + 1
@@ -135,9 +145,25 @@ class _DecoderCore(nn.Module):
             axis=1,
         )  # (B, T, C')
         bu, hu, wu, cu = upscaled.shape
-        masks = jnp.einsum(
-            "btc,bhwc->bhwt", hyper_in, upscaled, preferred_element_type=jnp.float32
-        ).astype(self.dtype)
+        use_ew = self.hyper_product == "elementwise" or (
+            self.hyper_product == "auto"
+            and cu <= 32
+            and jax.default_backend() == "tpu"
+        )
+        if use_ew:
+            # same contraction, f32 accumulation, as a fusable broadcast
+            # multiply + C-axis sum (C ≤ 32): the (B,H,W,T,C) intermediate
+            # never materializes and no GEMM layout preference applies
+            masks = jnp.sum(
+                upscaled.astype(jnp.float32)[..., None, :]
+                * hyper_in.astype(jnp.float32)[:, None, None],
+                axis=-1,
+            ).astype(self.dtype)
+        else:
+            masks = jnp.einsum(
+                "btc,bhwc->bhwt", hyper_in, upscaled,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
 
         iou_pred = self.iou_prediction_head(iou_token_out)
         return masks, iou_pred, upscaled
@@ -153,6 +179,7 @@ class MaskDecoder(nn.Module):
     iou_head_depth: int = 3
     iou_head_hidden_dim: int = 256
     dtype: jnp.dtype = jnp.float32
+    hyper_product: str = "auto"
 
     def setup(self):
         self.core = _DecoderCore(
@@ -163,6 +190,7 @@ class MaskDecoder(nn.Module):
             iou_head_depth=self.iou_head_depth,
             iou_head_hidden_dim=self.iou_head_hidden_dim,
             dtype=self.dtype,
+            hyper_product=self.hyper_product,
         )
 
     def __call__(
@@ -191,6 +219,7 @@ class MaskDecoderPromptLarge(nn.Module):
     iou_head_depth: int = 3
     iou_head_hidden_dim: int = 256
     dtype: jnp.dtype = jnp.float32
+    hyper_product: str = "auto"
 
     def setup(self):
         self.core = _DecoderCore(
@@ -201,6 +230,7 @@ class MaskDecoderPromptLarge(nn.Module):
             iou_head_depth=self.iou_head_depth,
             iou_head_hidden_dim=self.iou_head_hidden_dim,
             dtype=self.dtype,
+            hyper_product=self.hyper_product,
         )
 
     def __call__(

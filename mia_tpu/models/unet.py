@@ -212,6 +212,14 @@ class EinsumConvTranspose2x(nn.Module):
     # einsum lowering batches the whole contraction as one large GEMM and
     # pays only the interleave copy. Kept for the equality test.
     use_pallas: str = "never"
+    # 2D only: emit the two output-row taps as TWO GEMMs (each output
+    # (B,H,W,2F) row-major) interleaved by a row-granular stack instead of
+    # ONE GEMM whose (b,h,w,i,j,f)→(b,h,i,w,j,f) transpose copies
+    # (j·F)-element chunks (32 elements at F=16 — an eighth of a lane tile,
+    # the §21-profiled interleave cost). The stack's copy unit is a whole
+    # (W·2F)-element row; the backward slices the same contiguous chunks.
+    # Identical math per output element (same K-order contraction).
+    pair_rows: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -244,7 +252,15 @@ class EinsumConvTranspose2x(nn.Module):
                 )
         if nd == 2:
             b, h, ww, c = x.shape
-            y = jnp.einsum("bhwc,ijcf->bhiwjf", x, w)
+            if self.pair_rows:
+                # one GEMM per output-row tap; interleave rows by stack
+                y = jnp.stack(
+                    [jnp.einsum("bhwc,jcf->bhwjf", x, w[0]),
+                     jnp.einsum("bhwc,jcf->bhwjf", x, w[1])],
+                    axis=2,
+                )  # (b, h, 2, w, 2, f) == row-major (b, 2h, 2w, f)
+            else:
+                y = jnp.einsum("bhwc,ijcf->bhiwjf", x, w)
             y = y.reshape(b, 2 * h, 2 * ww, self.features)
         else:
             b, d, h, ww, c = x.shape
