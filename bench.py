@@ -22,6 +22,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", extras...}.
 from __future__ import annotations
 
 import json
+import os
+import statistics
 import time
 import traceback
 
@@ -32,8 +34,18 @@ BATCH = 128
 IMAGE_SIZE = 256
 WARMUP = 3
 ITERS = 20
+REPEATS = 3  # median-of-N timed windows per metric (VERDICT r4 weak #6)
 
 V5E_PEAK_BF16 = 197e12
+
+
+def _median_spread(vals):
+    """(median, spread_pct) over timed windows — same-session noise band
+    so round-over-round artifact deltas are interpretable outside the
+    6-10%% cross-session chip noise (docs/PERF.md §20)."""
+    med = statistics.median(vals)
+    spread = (max(vals) - min(vals)) / med * 100 if med else 0.0
+    return round(med, 2), round(spread, 1)
 
 
 def _sync(x):
@@ -79,18 +91,23 @@ def _build_unet_step(augmented: bool):
     return step, state, images, labels
 
 
-def _time_step(step, state, images, labels, iters=ITERS, warmup=WARMUP):
+def _time_step(step, state, images, labels, iters=ITERS, warmup=WARMUP,
+               repeats=REPEATS):
+    """Median img/s over ``repeats`` timed windows (+ spread_pct)."""
     import jax
 
     key = jax.random.PRNGKey(1)
     for _ in range(warmup):
         state, metrics = step(state, images, labels, key)
     _sync(metrics["loss"])
-    start = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, images, labels, key)
-    _sync(metrics["loss"])
-    return images.shape[0] * iters / (time.perf_counter() - start)
+    windows = []
+    for _ in range(repeats):
+        start = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, images, labels, key)
+        _sync(metrics["loss"])
+        windows.append(images.shape[0] * iters / (time.perf_counter() - start))
+    return _median_spread(windows)
 
 
 def bench_unet(augmented: bool):
@@ -113,11 +130,15 @@ def bench_unet_infer():
     probs, pred = predict(state, x)
     _sync(pred)
     iters = 20
-    start = time.perf_counter()
-    for _ in range(iters):
-        probs, pred = predict(state, x)
-    _sync(pred)
-    return round(x.shape[0] * iters / (time.perf_counter() - start), 1)
+    windows = []
+    for _ in range(REPEATS):
+        start = time.perf_counter()
+        for _ in range(iters):
+            probs, pred = predict(state, x)
+        _sync(pred)
+        windows.append(x.shape[0] * iters / (time.perf_counter() - start))
+    med, spread = _median_spread(windows)
+    return {"img_per_sec": med, "spread_pct": spread}
 
 
 def bench_unet_mfu():
@@ -125,7 +146,7 @@ def bench_unet_mfu():
     import jax
 
     step, state, images, labels = _build_unet_step(False)
-    ips = _time_step(step, state, images, labels)
+    ips, spread = _time_step(step, state, images, labels)
     try:
         key = jax.random.PRNGKey(1)
         cost = jax.jit(step).lower(state, images, labels, key).compile().cost_analysis()
@@ -133,9 +154,9 @@ def bench_unet_mfu():
             cost = cost[0]
         flops_per_step = float(cost.get("flops", 0.0))
         mfu = (ips / images.shape[0]) * flops_per_step / V5E_PEAK_BF16 * 100
-        return ips, round(mfu, 1)
+        return ips, spread, round(mfu, 1)
     except Exception:
-        return ips, None
+        return ips, spread, None
 
 
 def bench_cpcsam_steps():
@@ -187,14 +208,20 @@ def bench_cpcsam_steps():
             )
         _sync(metrics["loss"])
         iters = 5
-        start = time.perf_counter()
-        for i in range(iters):
-            params, opt_state, memory, metrics = fn(
-                params, opt_state, memory, images, labels, key, jnp.asarray(i)
+        windows = []
+        for _ in range(REPEATS):
+            start = time.perf_counter()
+            for i in range(iters):
+                params, opt_state, memory, metrics = fn(
+                    params, opt_state, memory, images, labels, key, jnp.asarray(i)
+                )
+            _sync(metrics["loss"])
+            windows.append(
+                cfg.batch_size * iters / (time.perf_counter() - start)
             )
-        _sync(metrics["loss"])
-        ips = cfg.batch_size * iters / (time.perf_counter() - start)
-        out[name] = round(ips, 2)
+        ips, spread = _median_spread(windows)
+        out[name] = ips
+        out[f"{name}_spread_pct"] = spread
         # MFU from XLA's own cost analysis so phase-program regressions are
         # tracked like the UNet/encoder numbers (VERDICT r3 weak #2)
         try:
@@ -216,14 +243,14 @@ def bench_al_round(tmp_root="/tmp/bench_al_round"):
     """Full AL-round wall clock: 200-image synthetic FUGC pool at 384x512,
     50 train iters batch 12 + entropy acquisition sweep + valid epoch.
 
-    Three rounds run in one process; round 0 pays the train/eval program
-    compilations, round 1 the first pool-sweep compilation (round 0's
-    selection is the cold-start random fallback, so the sweep program first
-    runs in round 1), and round 2 is the true steady state. The result
-    separates {compile_included, steady_state} — the docs must quote
-    whichever matches their claim (VERDICT r2 weak #5). The persistent
-    compilation cache is default-ON (``mia_tpu.utils.compile_cache``), so
-    repeat runs see warm compiles everywhere."""
+    TWO rounds, ``verbose=False`` (VERDICT r4 #1: the r4 three-round
+    verbose run blew the driver's wall-clock budget and erased the whole
+    artifact). Round 0 pays the train/eval program compilations; round 1
+    pays the first pool-sweep compilation when the persistent compilation
+    cache (default-ON, ``mia_tpu.utils.compile_cache``) is cold, and is
+    the steady state when it is warm. The result separates
+    {compile_included, steady_state}; docs must quote whichever matches
+    their claim (VERDICT r2 weak #5)."""
     import shutil
     import sys
     from pathlib import Path
@@ -260,7 +287,7 @@ def bench_al_round(tmp_root="/tmp/bench_al_round"):
             batch_size=12,
             valid_batch_size=1,
             active_learning=True,
-            num_rounds=3,
+            num_rounds=2,
             budget=20,
             active_selector_name="entropy",
             num_iters=50,
@@ -270,11 +297,10 @@ def bench_al_round(tmp_root="/tmp/bench_al_round"):
             do_oversample=True,
             compute_dtype="bfloat16",
         ),
-        # verbose=True: pay the reference's per-iteration Rich console
-        # formatting cost (al_trainer.py:1394-1396) — VERDICT r3 weak #6.
-        # The Rich console writes to stderr, so the driver's stdout JSON
-        # line stays clean.
-        verbose=True,
+        # verbose=False per VERDICT r4 #1 (wall-clock budget); the
+        # verbose=True logging-cadence cost was measured in r4 dev runs
+        # (docs/PERF.md §20) and is not re-paid here.
+        verbose=False,
     )
     trainer.initialize()
     trainer.run_training()
@@ -314,11 +340,14 @@ def bench_sam_encoder():
         o = fn(variables, x)
         _sync(jax.tree.leaves(o)[0])
         iters = 10
-        start = time.perf_counter()
-        for _ in range(iters):
-            o = fn(variables, x)
-        _sync(jax.tree.leaves(o)[0])
-        out[name] = round(batch * iters / (time.perf_counter() - start), 1)
+        windows = []
+        for _ in range(REPEATS):
+            start = time.perf_counter()
+            for _ in range(iters):
+                o = fn(variables, x)
+            _sync(jax.tree.leaves(o)[0])
+            windows.append(batch * iters / (time.perf_counter() - start))
+        out[name], out[f"{name}_spread_pct"] = _median_spread(windows)
     return out
 
 
@@ -372,21 +401,27 @@ def bench_sam_predictor():
     lbl = np.array([1, 1], np.int32)
     predictor.predict(point_coords=pts, point_labels=lbl)  # compile decode
 
-    start = time.perf_counter()
-    embed_iters = 5
-    for _ in range(embed_iters):
-        predictor.set_image(image)
-        wait_ready(predictor.features)
-    embed_ms = (time.perf_counter() - start) / embed_iters * 1e3
+    embed_windows, predict_windows = [], []
+    for _ in range(REPEATS):
+        start = time.perf_counter()
+        embed_iters = 5
+        for _ in range(embed_iters):
+            predictor.set_image(image)
+            wait_ready(predictor.features)
+        embed_windows.append((time.perf_counter() - start) / embed_iters * 1e3)
 
-    start = time.perf_counter()
-    iters = 20
-    for _ in range(iters):
-        predictor.predict(point_coords=pts, point_labels=lbl)
-    predict_ms = (time.perf_counter() - start) / iters * 1e3
+        start = time.perf_counter()
+        iters = 20
+        for _ in range(iters):
+            predictor.predict(point_coords=pts, point_labels=lbl)
+        predict_windows.append((time.perf_counter() - start) / iters * 1e3)
+    embed_ms, embed_spread = _median_spread(embed_windows)
+    predict_ms, predict_spread = _median_spread(predict_windows)
     return {
-        "set_image_ms": round(embed_ms, 2),
-        "predict_ms": round(predict_ms, 2),
+        "set_image_ms": embed_ms,
+        "set_image_spread_pct": embed_spread,
+        "predict_ms": predict_ms,
+        "predict_spread_pct": predict_spread,
     }
 
 
@@ -425,17 +460,23 @@ def bench_amg():
 
     def timed(gen, iters=3):
         gen.generate(image)  # compile
-        start = time.perf_counter()
+        windows = []
         for _ in range(iters):
+            start = time.perf_counter()
             gen.generate(image)
-        return (time.perf_counter() - start) / iters * 1e3
+            windows.append((time.perf_counter() - start) * 1e3)
+        return _median_spread(windows)
 
     # headline: the reference's default 32x32 grid in 64-point chunks
     amg = SamAutomaticMaskGenerator(
         predictor, points_per_side=32, points_per_batch=64
     )
-    ms = timed(amg)
-    n_candidates = 32 * 32 * model.mask_decoder.num_multimask_outputs
+    ms, ms_spread = timed(amg)
+    # candidate masks per point = the decoder's multimask count, which Sam
+    # wires to num_classes (sam.py:142); the flax module attr is only
+    # readable under init/apply — reading it unbound was the r4 bench
+    # crash (VERDICT r4 weak #1a)
+    n_candidates = 32 * 32 * model.num_classes
 
     # A/B at 64 points: batched chunk vs per-point loop (points_per_batch=1
     # is exactly the reference's per-point dispatch granularity)
@@ -444,10 +485,11 @@ def bench_amg():
         gen = SamAutomaticMaskGenerator(
             predictor, points_per_side=8, points_per_batch=ppb
         )
-        ab[name] = round(timed(gen, iters=2), 1)
+        ab[name] = timed(gen, iters=2)[0]
 
     return {
         "ms_per_image_32x32": round(ms, 1),
+        "ms_spread_pct": ms_spread,
         "candidate_masks_per_sec": round(n_candidates / (ms / 1e3), 1),
         **ab,
     }
@@ -457,7 +499,19 @@ def bench_torch_reference():
     """Reference-equivalent torch train step, images/sec (torch CPU — the
     reference stack is torch-only and this image has no CUDA). Same
     architecture (tests/torch_ref.TorchUNet mirrors the reference UNet),
-    image size, Dice+CE, adam, grad-clip 10."""
+    image size, Dice+CE, adam, grad-clip 10.
+
+    Cached to /tmp between runs (VERDICT r4 #1: time-boxed so the torch
+    loop can never eat the driver's budget — the torch baseline does not
+    change round over round)."""
+    from pathlib import Path
+
+    cache = Path("/tmp/mia_bench_torch_ref.json")
+    if cache.exists():
+        try:
+            return float(json.loads(cache.read_text())["img_per_sec"])
+        except Exception:
+            pass
     try:
         import sys
 
@@ -495,57 +549,115 @@ def bench_torch_reference():
         torch.nn.utils.clip_grad_norm_(model.parameters(), 10.0)
         opt.step()
 
+    # time-box: one timed warmup step; if the host is slow, shrink the
+    # measurement window (the number only needs O(10%) accuracy — it is
+    # 3 orders of magnitude below the TPU value)
+    t0 = time.perf_counter()
+    step()
+    first = time.perf_counter() - t0
+    if first > 15.0:
+        iters, warmup = 2, 0
     for _ in range(warmup):
         step()
     start = time.perf_counter()
     for _ in range(iters):
         step()
-    return batch * iters / (time.perf_counter() - start)
+    ips = batch * iters / (time.perf_counter() - start)
+    try:
+        cache.write_text(json.dumps({"img_per_sec": ips}))
+    except OSError:
+        pass
+    return ips
 
 
 def main():
+    """Run every bench under an internal wall-clock budget, persisting a
+    partial result after each section, and print ONE JSON line.
+
+    VERDICT r4 weak #1: the r4 run hit the driver's timeout and, because
+    JSON was only printed at the very end, the whole artifact was lost.
+    Now (a) the budget (env ``BENCH_BUDGET_S``, default 1500 s) skips
+    remaining sections rather than overrun, (b) ``BENCH.partial.json`` is
+    written after every section, and (c) a SIGTERM handler prints the
+    partial JSON line so even a driver kill leaves a parseable stdout."""
+    import signal
+
     from mia_tpu.utils import maybe_enable_compilation_cache
 
     maybe_enable_compilation_cache()  # default-ON on TPU: warm repeat runs
-    extras = {}
-    value = bench_unet(augmented=True)
 
-    for key, fn in (
-        ("unet_train_bare_img_per_sec", lambda: bench_unet_mfu()),
-        ("unet_infer_img_per_sec", bench_unet_infer),
-        ("sam_encoder_img_per_sec", bench_sam_encoder),
-        ("cpcsam_img_per_sec", bench_cpcsam_steps),
-        ("al_round_seconds", bench_al_round),
-        ("sam_predictor_latency_ms", bench_sam_predictor),
-        ("amg", bench_amg),
-    ):
+    t0 = time.monotonic()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    result = {
+        "metric": "al_train_step_augmented_images_per_sec_per_chip",
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+    }
+
+    def emit():
+        print(json.dumps(result), flush=True)
+
+    def on_term(signum, frame):
+        result["timed_out"] = True
+        emit()
+        raise SystemExit(1)
+
+    signal.signal(signal.SIGTERM, on_term)
+
+    def save_partial():
         try:
-            extras[key] = fn()
-        except Exception:
-            extras[key] = None
-            traceback.print_exc()
-    if isinstance(extras.get("unet_train_bare_img_per_sec"), tuple):
-        bare, mfu = extras.pop("unet_train_bare_img_per_sec")
-        extras["unet_train_bare_img_per_sec"] = round(bare, 2)
-        extras["unet_train_bare_mfu_pct"] = mfu
+            with open("BENCH.partial.json", "w") as f:
+                json.dump(result, f)
+        except OSError:
+            pass
+
+    def time_left():
+        return budget - (time.monotonic() - t0)
 
     baseline = None
     try:
         baseline = bench_torch_reference()
     except Exception:
         traceback.print_exc()
-    vs = value / baseline if baseline else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": "al_train_step_augmented_images_per_sec_per_chip",
-                "value": round(value, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(vs, 3),
-                **extras,
-            }
-        )
-    )
+
+    try:
+        value, spread = bench_unet(augmented=True)
+        result["value"] = value
+        result["value_spread_pct"] = spread
+        result["vs_baseline"] = round(value / baseline, 3) if baseline else 1.0
+    except Exception:
+        traceback.print_exc()
+    save_partial()
+
+    for key, fn, min_left in (
+        ("unet_train_bare_img_per_sec", bench_unet_mfu, 60),
+        ("unet_infer_img_per_sec", bench_unet_infer, 45),
+        ("cpcsam_img_per_sec", bench_cpcsam_steps, 240),
+        ("sam_encoder_img_per_sec", bench_sam_encoder, 120),
+        ("al_round_seconds", bench_al_round, 180),
+        ("sam_predictor_latency_ms", bench_sam_predictor, 90),
+        ("amg", bench_amg, 120),
+    ):
+        if time_left() < min_left:
+            result[key] = "skipped_budget"
+            save_partial()
+            continue
+        try:
+            result[key] = fn()
+        except Exception:
+            result[key] = None
+            traceback.print_exc()
+        save_partial()
+    if isinstance(result.get("unet_train_bare_img_per_sec"), tuple):
+        bare, spread, mfu = result.pop("unet_train_bare_img_per_sec")
+        result["unet_train_bare_img_per_sec"] = round(bare, 2)
+        result["unet_train_bare_spread_pct"] = spread
+        result["unet_train_bare_mfu_pct"] = mfu
+
+    result["bench_seconds"] = round(time.monotonic() - t0, 1)
+    save_partial()
+    emit()
 
 
 if __name__ == "__main__":
