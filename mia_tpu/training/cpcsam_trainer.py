@@ -112,6 +112,10 @@ class CPCSAMConfig:
         use_adv_loss: bool = False,
         adv_weight: float = 1.0,
         adv_loss_kwargs: dict | None = None,
+        # trace the phase-1 (and phase-2 first-pass) model on the labeled
+        # slice only — identical loss/grad math, ~1/ratio fewer FLOPs
+        # (False restores the reference-shaped full-batch program)
+        phase1_labeled_only: bool = True,
         stride=None,
         exp_name: str = "",
         **kwargs,
@@ -179,6 +183,7 @@ class CPCSAMConfig:
         self.use_adv_loss = use_adv_loss
         self.adv_weight = adv_weight
         self.adv_loss_kwargs = adv_loss_kwargs or {"xi": 10.0, "epi": 6.0, "ip": 1}
+        self.phase1_labeled_only = phase1_labeled_only
         self.stride = stride
         self.exp_name = exp_name
 
@@ -620,8 +625,35 @@ class CPCSAMTrainer(BaseTrainer):
 
         def losses_fn(params, memory, images, labels, rng, step, phase2: bool):
             rngs = jax.random.split(rng, 9)
-            image_embeddings = embed(params, images)
-            outputs = apply_model(params, images, rngs[0], -1, image_embeddings)
+            # Phase-1 consumes ONLY the labeled slice: loss1 reads
+            # low_res_logits[:lbs] and (with aux losses off) nothing reads
+            # the unlabeled half — but XLA cannot dead-code-eliminate a
+            # batch SLICE out of the encoder/decoder matmuls, so the
+            # reference-shaped full-batch program computes and discards
+            # ~(1-ratio) of its FLOPs every phase-1 step (the reference
+            # does exactly this waste, ``cpcsam_trainer.py:1099-1121``).
+            # Tracing the phase-1 program on images[:lbs] is mathematically
+            # identical (LayerNorm + per-sample dropout: no cross-batch
+            # coupling) and removes the dead compute at trace time. The
+            # same applies to phase-2's FIRST (unprompted) pass — only its
+            # labeled rows are consumed — while its embeddings stay
+            # full-batch for prompt generation and the prompted passes.
+            aux_on = cfg.use_contrastive_loss or cfg.use_adv_loss
+            slice_p1 = cfg.phase1_labeled_only and not aux_on
+            if phase2 or not slice_p1:
+                image_embeddings = embed(params, images)
+            else:
+                image_embeddings = embed(params, images[:lbs])
+            if phase2 and slice_p1:
+                outputs = apply_model(
+                    params, images[:lbs], rngs[0], -1, image_embeddings[:lbs]
+                )
+            elif not phase2 and slice_p1:
+                outputs = apply_model(
+                    params, images[:lbs], rngs[0], -1, image_embeddings
+                )
+            else:
+                outputs = apply_model(params, images, rngs[0], -1, image_embeddings)
 
             labeled_labels = labels[:lbs]
             loss1 = 0.0

@@ -373,3 +373,79 @@ def test_cpcsam_valid_epoch_sharded_matches_single_device(tmp_path):
     for (m1, l1), (m2, l2) in zip(single, sharded):
         np.testing.assert_allclose(m1, m2, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(l1, l2, rtol=1e-4, atol=1e-5)
+
+
+def test_phase1_labeled_only_matches_full_batch(tmp_path):
+    """The labeled-slice phase programs (phase1_labeled_only=True, the
+    default) produce the SAME losses and parameter updates as the
+    reference-shaped full-batch programs — the unlabeled half of the
+    phase-1 forward (and of phase-2's first unprompted pass) is provably
+    dead compute (reference ``cpcsam_trainer.py:1099-1121``)."""
+    import tempfile
+
+    import mia_tpu.models.sam.build_sam as bs
+    from mia_tpu.memories import init_feature_memory
+    from mia_tpu.training.cpcsam_trainer import CPCSAMTrainer
+
+    orig = bs._VIT_SPECS["vit_b"]
+    bs._VIT_SPECS["vit_b"] = dict(embed_dim=32, depth=1, num_heads=2, global_idx=(0,))
+    try:
+        def build(labeled_only):
+            trainer = CPCSAMTrainer(
+                work_path=tmp_path / f"w_{labeled_only}",
+                config=dict(
+                    seed=0,
+                    image_size=32,
+                    batch_size=4,
+                    labeled_batch_ratio=0.5,
+                    num_classes=3,
+                    lora_rank=2,
+                    max_iter=10,
+                    warmup_iter=0,
+                    lr_warmup_iter=1,
+                    phase1_labeled_only=labeled_only,
+                ),
+                verbose=False,
+            )
+            trainer.initialize()
+            trainer._setup_loss()
+            trainer._setup_optimizer()
+            trainer._make_programs()
+            trainer.memory = init_feature_memory(3, 2 * (256 // 16))
+            return trainer
+
+        t_sliced = build(True)
+        t_full = build(False)
+        # identical weights on both arms
+        t_full.params = jax.tree.map(jnp.copy, t_sliced.params)
+        t_full.opt_state = t_full.tx.init(t_full.params)
+
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.random((4, 32, 32, 3), np.float32))
+        labels = jnp.asarray(rng.integers(0, 4, (4, 32, 32)), jnp.int32)
+        key = jax.random.PRNGKey(7)
+
+        for phase_name in ("_step_phase1", "_step_phase2"):
+            ps, os_, ms, mets_s = getattr(t_sliced, phase_name)(
+                jax.tree.map(jnp.copy, t_sliced.params),
+                t_sliced.tx.init(t_sliced.params),
+                t_sliced.memory, images, labels, key, jnp.asarray(0),
+            )
+            pf, of_, mf, mets_f = getattr(t_full, phase_name)(
+                jax.tree.map(jnp.copy, t_full.params),
+                t_full.tx.init(t_full.params),
+                t_full.memory, images, labels, key, jnp.asarray(0),
+            )
+            np.testing.assert_allclose(
+                float(mets_s["loss1"]), float(mets_f["loss1"]), rtol=1e-5
+            )
+            if phase_name == "_step_phase2":
+                np.testing.assert_allclose(
+                    float(mets_s["loss2"]), float(mets_f["loss2"]), rtol=1e-4
+                )
+            for a, b in zip(jax.tree.leaves(ps), jax.tree.leaves(pf)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+                )
+    finally:
+        bs._VIT_SPECS["vit_b"] = orig
