@@ -81,14 +81,16 @@ class _DecoderCore(nn.Module):
     iou_head_hidden_dim: int
     dtype: jnp.dtype = jnp.float32
     # hypernetwork mask product form. The einsum "btc,bhwc->bhwt" is a
-    # K=C dot (C=16/32) — XLA lowers it GEMM/conv-style and its operand
-    # layout preference (W-minor) fights the upscaler GEMM's C-minor
-    # output, materializing full (B,H',W',C) layout-normalization copies
-    # each way (the §21/§24-profiled bucket). "elementwise" computes the
-    # same contraction as a broadcast multiply + tiny-axis sum that fuses
-    # into the gelu producer with NO layout constraint. "auto": elementwise
-    # on TPU when C ≤ 32, einsum otherwise.
-    hyper_product: str = "auto"  # "auto" | "einsum" | "elementwise"
+    # K=C dot (C=16/32) lowered GEMM/conv-style; "elementwise" computes the
+    # same contraction as a broadcast multiply + tiny-axis sum with no GEMM
+    # layout preference; "auto" picks elementwise on TPU when C ≤ 32.
+    # Default "einsum": the layout-fight hypothesis measured NEGATIVE on
+    # the production surface — same-session A/B on the CPC-SAM phase
+    # programs (docs/PERF.md §25) has elementwise at -2.9% phase-2
+    # throughput (38.47 → 37.41 img/s, spreads ≤ 0.9%); phase-1 deltas sat
+    # inside 10-14% window noise. Branch equality is pinned by
+    # tests/test_mask_decoder.py on CPU (both branches forced explicitly).
+    hyper_product: str = "einsum"  # "auto" | "einsum" | "elementwise"
 
     def setup(self):
         self.num_mask_tokens = self.num_multimask_outputs + 1
@@ -179,7 +181,7 @@ class MaskDecoder(nn.Module):
     iou_head_depth: int = 3
     iou_head_hidden_dim: int = 256
     dtype: jnp.dtype = jnp.float32
-    hyper_product: str = "auto"
+    hyper_product: str = "einsum"
 
     def setup(self):
         self.core = _DecoderCore(
@@ -219,7 +221,7 @@ class MaskDecoderPromptLarge(nn.Module):
     iou_head_depth: int = 3
     iou_head_hidden_dim: int = 256
     dtype: jnp.dtype = jnp.float32
-    hyper_product: str = "auto"
+    hyper_product: str = "einsum"
 
     def setup(self):
         self.core = _DecoderCore(

@@ -215,11 +215,14 @@ class EinsumConvTranspose2x(nn.Module):
     # 2D only: emit the two output-row taps as TWO GEMMs (each output
     # (B,H,W,2F) row-major) interleaved by a row-granular stack instead of
     # ONE GEMM whose (b,h,w,i,j,f)→(b,h,i,w,j,f) transpose copies
-    # (j·F)-element chunks (32 elements at F=16 — an eighth of a lane tile,
-    # the §21-profiled interleave cost). The stack's copy unit is a whole
-    # (W·2F)-element row; the backward slices the same contiguous chunks.
-    # Identical math per output element (same K-order contraction).
-    pair_rows: bool = True
+    # (j·F)-element chunks. Identical math per output element (same K-order
+    # contraction; equality pinned vs nn.ConvTranspose in tests/test_unet).
+    # Default False: the r5 same-session A/B (docs/PERF.md §25) measured
+    # True at -3.4% CPC-SAM phase-2 throughput (38.73 → 37.41 img/s,
+    # spreads ≤ 2.3%) and NEUTRAL on the UNet AL step (1055.7 vs 1054.5
+    # img/s, drift bound 1053.5) — the single-GEMM interleave transpose is
+    # not the cost the hypothesis assumed.
+    pair_rows: bool = False
 
     @nn.compact
     def __call__(self, x):

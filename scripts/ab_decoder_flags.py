@@ -53,18 +53,35 @@ def patched(**overrides):
 
 
 def pair_rows_patched(value: bool):
+    """Patch BOTH call sites: the SAM decoders (mask_decoder module global)
+    and the UNet decoder (unet module global, ``unet.py:309``)."""
     import mia_tpu.models.sam.mask_decoder as md
+    import mia_tpu.models.unet as un
 
-    orig = md.EinsumConvTranspose2x
+    orig = un.EinsumConvTranspose2x
 
     class _Ctx:
         def __enter__(self):
-            md.EinsumConvTranspose2x = functools.partial(orig, pair_rows=value)
+            patched_cls = functools.partial(orig, pair_rows=value)
+            md.EinsumConvTranspose2x = patched_cls
+            un.EinsumConvTranspose2x = patched_cls
 
         def __exit__(self, *a):
             md.EinsumConvTranspose2x = orig
+            un.EinsumConvTranspose2x = orig
 
     return _Ctx()
+
+
+def measure_unet(tag):
+    """Production AL train step (augmented, batch 128) — the pair_rows
+    surface VERDICT r4 #3 names explicitly (``unet.py:252-264``)."""
+    from bench import bench_unet
+
+    ips, spread = bench_unet(augmented=True)
+    print(json.dumps({"config": tag, "img_per_sec": ips,
+                      "spread_pct": spread}), flush=True)
+    return {"img_per_sec": ips, "spread_pct": spread}
 
 
 def main():
@@ -80,6 +97,16 @@ def main():
         results["pair_rows_false"] = measure("pair_rows=False")
     # re-measure defaults last to bound in-session drift
     results["defaults_again"] = measure("defaults re-run (drift bound)")
+
+    # production AL step arm (VERDICT r4 #3: pair_rows on the UNet decoder)
+    results["unet_defaults"] = measure_unet("unet AL step pair_rows=True")
+    with pair_rows_patched(False):
+        results["unet_pair_rows_false"] = measure_unet(
+            "unet AL step pair_rows=False"
+        )
+    results["unet_defaults_again"] = measure_unet(
+        "unet AL step pair_rows=True re-run (drift bound)"
+    )
     print(json.dumps(results))
 
 
