@@ -443,9 +443,18 @@ def test_phase1_labeled_only_matches_full_batch(tmp_path):
                 np.testing.assert_allclose(
                     float(mets_s["loss2"]), float(mets_f["loss2"]), rtol=1e-4
                 )
+            # post-adam params: the sliced/full programs reassociate f32
+            # reductions differently (different fusion shapes), and adam's
+            # g/(sqrt(v)+eps) normalization amplifies near-zero-grad noise
+            # to update scale (a first-step update is +-lr = 1e-3; a grad
+            # whose sign path differs moves an element by up to 2*lr).
+            # Observed: <=1 element per half-million off by ~3e-5. The
+            # sharp dead-compute assertion is the loss equality above;
+            # params get a 0.1*lr atol, which still catches any systematic
+            # (whole-tensor) divergence
             for a, b in zip(jax.tree.leaves(ps), jax.tree.leaves(pf)):
                 np.testing.assert_allclose(
-                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
                 )
     finally:
         bs._VIT_SPECS["vit_b"] = orig
