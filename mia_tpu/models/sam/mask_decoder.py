@@ -43,11 +43,26 @@ class MLP(nn.Module):
 
 class _Upscaler(nn.Module):
     """N-stage ConvTranspose upscaler. Plain SAM: 2 stages (4×); prompt-large:
-    4 stages (16×, ``mask_decoder_prompt_large.py:53-65``)."""
+    4 stages (16×, ``mask_decoder_prompt_large.py:53-65``).
+
+    ``layout="tap"``: because every stage is k=2/s=2, no stage
+    mixes spatial neighbours — the WHOLE chain is a per-input-pixel map.
+    All stages therefore run at the embedding's 32×32 spatial size with a
+    growing tap axis ((b, h, w, 4^s, f) tensors, full-lane layouts, fat
+    GEMMs), and ONE final depth-to-space transpose materializes the
+    (b, 2^s·h, 2^s·w, f) grid. Hypothesis: that removes the per-stage
+    interleaved 6D stores + strided backward reads that dominate the
+    phase-2 trace. MEASURED NEGATIVE (docs/PERF.md §27: phase-2 -31%,
+    phase-1 -15%, AMG -4% — the one big depth-to-space transpose lowers
+    worse than XLA's per-stage GEMM-epilogue interleave), so the default
+    stays "interleave". Both paths produce identical values (same
+    per-element contraction; equality pinned in tests/test_mask_decoder),
+    share the same parameter tree, and load the same checkpoints."""
 
     transformer_dim: int
     stages: int
     dtype: jnp.dtype = jnp.float32
+    layout: str = "interleave"  # "interleave" | "tap"
 
     @nn.compact
     def __call__(self, x):
@@ -56,19 +71,39 @@ class _Upscaler(nn.Module):
             plan = [(d // 4, "ln"), (d // 8, None)]
         else:
             plan = [(d // 4, "ln"), (d // 8, "ln"), (d // 16, "ln"), (d // 16, None)]
+        tap = self.layout == "tap"
+        if tap:
+            x = x[:, :, :, None, :]  # (b, h, w, t=1, c)
         for i, (feats, norm) in enumerate(plan):
-            # k=2/s=2 transposed conv as one GEMM + free interleave reshape
-            # (EinsumConvTranspose2x, checkpoint-compatible with
-            # nn.ConvTranspose). Unlike the UNet decoder — where this was a
-            # measured negative (unet.py) — the SAM upscaler's THIN channel
-            # counts (64/32/16) leave the strided-conv lowering ~10x off the
-            # HBM roofline (80 GB/s, docs/PERF.md), and the GEMM path wins.
+            # k=2/s=2 transposed conv as one GEMM (EinsumConvTranspose2x,
+            # checkpoint-compatible with nn.ConvTranspose). Unlike the UNet
+            # decoder — where this was a measured negative (unet.py) — the
+            # SAM upscaler's THIN channel counts (64/32/16) leave the
+            # strided-conv lowering ~10x off the HBM roofline
+            # (80 GB/s, docs/PERF.md), and the GEMM path wins.
             x = EinsumConvTranspose2x(
                 feats, dimension=2, dtype=self.dtype, name=f"up{i}",
             )(x)
             if norm == "ln":
                 x = LayerNorm2d(dtype=self.dtype, name=f"norm{i}")(x)
             x = nn.gelu(x, approximate=False)
+        if tap:
+            # depth-to-space: tap index bits are (i1, j1, i2, j2, ...) with
+            # stage 1 most significant; output row = Σ i_k·2^(s-k), col
+            # likewise (out(2h+i) applied s times ⇒ row = 2^s·h + i1·2^(s-1)
+            # + ... + i_s)
+            s = self.stages
+            b, h, w, t, f = x.shape
+            x = x.reshape(b, h, w, *(2,) * (2 * s), f)
+            perm = (
+                [0, 1]
+                + [3 + 2 * k for k in range(s)]
+                + [2]
+                + [4 + 2 * k for k in range(s)]
+                + [3 + 2 * s]
+            )
+            x = x.transpose(perm)
+            x = x.reshape(b, h << s, w << s, f)
         return x
 
 
@@ -91,6 +126,10 @@ class _DecoderCore(nn.Module):
     # inside 10-14% window noise. Branch equality is pinned by
     # tests/test_mask_decoder.py on CPU (both branches forced explicitly).
     hyper_product: str = "einsum"  # "auto" | "einsum" | "elementwise"
+    # upscaler lowering (see _Upscaler docstring + docs/PERF.md §27):
+    # "tap" measured NEGATIVE (phase-2 -31%, phase-1 -15%, AMG -4%) —
+    # XLA's fused per-stage interleave beats the one-big-transpose plan
+    upscaler_layout: str = "interleave"  # "interleave" | "tap"
 
     def setup(self):
         self.num_mask_tokens = self.num_multimask_outputs + 1
@@ -103,7 +142,8 @@ class _DecoderCore(nn.Module):
             (self.num_mask_tokens, self.transformer_dim),
         )
         self.output_upscaling = _Upscaler(
-            self.transformer_dim, self.upscale_stages, dtype=self.dtype
+            self.transformer_dim, self.upscale_stages, dtype=self.dtype,
+            layout=self.upscaler_layout,
         )
         # hypernetwork output matches the upscaler's channel count:
         # dim//8 for the plain 2-stage decoder, dim//16 for prompt-large
@@ -182,6 +222,7 @@ class MaskDecoder(nn.Module):
     iou_head_hidden_dim: int = 256
     dtype: jnp.dtype = jnp.float32
     hyper_product: str = "einsum"
+    upscaler_layout: str = "interleave"
 
     def setup(self):
         self.core = _DecoderCore(
@@ -193,6 +234,7 @@ class MaskDecoder(nn.Module):
             iou_head_hidden_dim=self.iou_head_hidden_dim,
             dtype=self.dtype,
             hyper_product=self.hyper_product,
+            upscaler_layout=self.upscaler_layout,
         )
 
     def __call__(
@@ -222,6 +264,7 @@ class MaskDecoderPromptLarge(nn.Module):
     iou_head_hidden_dim: int = 256
     dtype: jnp.dtype = jnp.float32
     hyper_product: str = "einsum"
+    upscaler_layout: str = "interleave"
 
     def setup(self):
         self.core = _DecoderCore(
@@ -233,6 +276,7 @@ class MaskDecoderPromptLarge(nn.Module):
             iou_head_hidden_dim=self.iou_head_hidden_dim,
             dtype=self.dtype,
             hyper_product=self.hyper_product,
+            upscaler_layout=self.upscaler_layout,
         )
 
     def __call__(

@@ -227,6 +227,7 @@ class EinsumConvTranspose2x(nn.Module):
     @nn.compact
     def __call__(self, x):
         nd = self.dimension
+        tap_space = x.ndim == nd + 3  # (b, h, w, t, c): see _Upscaler "tap"
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -243,6 +244,19 @@ class EinsumConvTranspose2x(nn.Module):
         # directly from the einsum so the final reshape is a free dim-merge
         # (row-major (b,h,i,w,j,f) == (b,2h,2w,f))
         w = kernel[(slice(None, None, -1),) * nd]
+        if tap_space:
+            # k2s2 taps never mix spatial neighbours, so the stage can run
+            # entirely in "tap space": each input (h, w, t) cell maps to 4
+            # independent output taps. One fat GEMM (M = B·H·W·T, K = C,
+            # N = 4F) with contiguous reads/writes — no interleaved 6D
+            # store and no strided cotangent reads in the backward (the
+            # docs/PERF.md §27 phase-2 bucket). The caller interleaves
+            # ONCE at the end of the whole stage chain. Same per-element
+            # contraction (same wrev, same K order) as the 4D path.
+            assert nd == 2, "tap-space path is 2D-only"
+            b, h, ww, t, c = x.shape
+            y = jnp.einsum("bhwtc,ijcf->bhwtijf", x, w)
+            return y.reshape(b, h, ww, 4 * t, self.features) + bias
         if nd == 2 and self.use_pallas == "always":
             from ..ops.upsample2x import conv_transpose2x_p, upsample2x_available
 

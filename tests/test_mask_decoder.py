@@ -92,3 +92,44 @@ def test_hyper_product_auto_resolves_einsum_off_tpu(rng):
     e_masks, _ = es.apply(variables, emb, pe, sparse, dense, True)
     assert jax.default_backend() != "tpu"
     np.testing.assert_array_equal(np.asarray(a_masks), np.asarray(e_masks))
+
+
+@pytest.mark.parametrize("stages,hw", [(2, 8), (4, 4)])
+def test_upscaler_tap_matches_interleave(stages, hw, rng):
+    """The tap-space upscaler (all stages at the embedding's spatial size,
+    one final depth-to-space — docs/PERF.md §27) computes the SAME values
+    as the per-stage interleave path from the SAME parameter tree: k2s2
+    stages never mix spatial neighbours, so the chain is a per-input-pixel
+    map and only the materialization order differs. Values agree to 1-ulp
+    f32 reassociation noise; the parameter trees (and hence checkpoints)
+    are identical."""
+    from mia_tpu.models.sam.mask_decoder import _Upscaler
+
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, DIM)).astype(np.float32))
+    up_tap = _Upscaler(DIM, stages, layout="tap")
+    up_int = _Upscaler(DIM, stages, layout="interleave")
+    variables = up_tap.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(variables) == jax.tree.structure(
+        up_int.init(jax.random.PRNGKey(0), x)
+    )
+    y_tap = up_tap.apply(variables, x)
+    y_int = up_int.apply(variables, x)
+    assert y_tap.shape == (2, hw << stages, hw << stages, y_int.shape[-1])
+    np.testing.assert_allclose(
+        np.asarray(y_tap), np.asarray(y_int), rtol=1e-5, atol=1e-5
+    )
+
+    def loss(up):
+        def f(v):
+            return jnp.sum(up.apply(v, x).astype(jnp.float32) ** 2)
+        return f
+
+    g_tap = jax.grad(loss(up_tap))(variables)
+    g_int = jax.grad(loss(up_int))(variables)
+    # grads are large reassociated reductions chained through LN rsqrt
+    # derivatives — observed up to ~8e-4 relative on single elements; the
+    # forward equality above is the sharp layout-equivalence assertion
+    for a, b in zip(jax.tree.leaves(g_tap), jax.tree.leaves(g_int)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-3
+        )
