@@ -41,6 +41,8 @@ KEEPS = {
 # subsystem keeps a cheaper representative in the fast tier).
 EXTRA_SLOW_PREFIXES = (
     "tests/test_unpartition_residual.py::",  # default-off kernel (PERF §23)
+    # default-off upscaler lowering (PERF §27)
+    "tests/test_mask_decoder.py::test_upscaler_tap_matches_interleave",
 )
 EXTRA_SLOW = {
     # duplicates of transforms-level warp/filter goldens
