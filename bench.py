@@ -209,16 +209,21 @@ def bench_cpcsam_steps():
         _sync(metrics["loss"])
         iters = 5
         windows = []
-        for _ in range(REPEATS):
+        # one throwaway window first: the phase programs' first timed
+        # window repeatedly lands 10-30% slow (dispatch queue/cache warmup
+        # beyond the 2 warmup steps — seen in the §25/§27 A/B arms),
+        # inflating the reported spread
+        for w in range(REPEATS + 1):
             start = time.perf_counter()
             for i in range(iters):
                 params, opt_state, memory, metrics = fn(
                     params, opt_state, memory, images, labels, key, jnp.asarray(i)
                 )
             _sync(metrics["loss"])
-            windows.append(
-                cfg.batch_size * iters / (time.perf_counter() - start)
-            )
+            if w > 0:
+                windows.append(
+                    cfg.batch_size * iters / (time.perf_counter() - start)
+                )
         ips, spread = _median_spread(windows)
         out[name] = ips
         out[f"{name}_spread_pct"] = spread
@@ -587,7 +592,10 @@ def main():
     maybe_enable_compilation_cache()  # default-ON on TPU: warm repeat runs
 
     t0 = time.monotonic()
-    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    # 2100 s: a congested-tunnel session measured 1450 s for the pre-amg
+    # sections alone (2026-08-21); a driver kill at any outer timeout still
+    # leaves a parseable artifact via the SIGTERM partial-emit below
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2100"))
     result = {
         "metric": "al_train_step_augmented_images_per_sec_per_chip",
         "value": None,
@@ -630,14 +638,17 @@ def main():
         traceback.print_exc()
     save_partial()
 
+    # amg/predictor run BEFORE al_round: al_round has the most variable
+    # wall cost (host-bound, compile-sensitive), so it takes the budget
+    # skip rather than starving the serving-path metrics (r4's crash site)
     for key, fn, min_left in (
         ("unet_train_bare_img_per_sec", bench_unet_mfu, 60),
         ("unet_infer_img_per_sec", bench_unet_infer, 45),
         ("cpcsam_img_per_sec", bench_cpcsam_steps, 240),
         ("sam_encoder_img_per_sec", bench_sam_encoder, 120),
-        ("al_round_seconds", bench_al_round, 180),
         ("sam_predictor_latency_ms", bench_sam_predictor, 90),
         ("amg", bench_amg, 120),
+        ("al_round_seconds", bench_al_round, 180),
     ):
         if time_left() < min_left:
             result[key] = "skipped_budget"
